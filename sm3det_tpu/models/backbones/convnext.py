@@ -1,0 +1,171 @@
+"""ConvNeXt / ConvNeXt-MoE backbone (flax, NHWC).
+
+Capability parity with ``mmrotate/models/backbones/convnext_moe.py``:
+stages of (dw7x7 -> LN -> FFN or grid-MoE -> layer-scale -> droppath)
+blocks, stem + inter-stage downsampling, per-out-index LayerNorm, and the
+``MultiInput`` variant with a dataset-keyed stem dict (the reference
+currently shares one ``'single'`` stem across modalities,
+``convnext_moe.py:730-820``). Returns ``(features, gate_loss)`` where
+``gate_loss`` is the mean of the MoE aux losses (``:846-849``) or None.
+
+TPU notes: NHWC throughout, pointwise convs are Dense on channels-last
+(feed the MXU directly); the MoE uses the static capacity dispatch from
+:mod:`sm3det_tpu.models.moe`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..layers import DropPath, GRN
+from ..moe import MoELayer
+
+ARCH_SETTINGS = {
+    "atto": {"depths": [2, 2, 6, 2], "channels": [40, 80, 160, 320]},
+    "femto": {"depths": [2, 2, 6, 2], "channels": [48, 96, 192, 384]},
+    "pico": {"depths": [2, 2, 6, 2], "channels": [64, 128, 256, 512]},
+    "nano": {"depths": [2, 2, 8, 2], "channels": [80, 160, 320, 640]},
+    "tiny": {"depths": [3, 3, 9, 3], "channels": [96, 192, 384, 768]},
+    "small": {"depths": [3, 3, 27, 3], "channels": [96, 192, 384, 768]},
+    "base": {"depths": [3, 3, 27, 3], "channels": [128, 256, 512, 1024]},
+    "large": {"depths": [3, 3, 27, 3], "channels": [192, 384, 768, 1536]},
+    "xlarge": {"depths": [3, 3, 27, 3], "channels": [256, 512, 1024, 2048]},
+}
+
+
+class ConvNeXtBlock(nn.Module):
+    """One ConvNeXt block; ``moe`` config swaps the FFN for a grid MoE
+    (``convnext_moe.py:295-380``)."""
+
+    dim: int
+    drop_path_rate: float = 0.0
+    mlp_ratio: float = 4.0
+    layer_scale_init_value: float = 1e-6
+    use_grn: bool = False
+    moe: Optional[Dict[str, Any]] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        aux = None
+        x = nn.Conv(self.dim, (7, 7), padding=3,
+                    feature_group_count=self.dim, name="dwconv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        hidden = int(self.mlp_ratio * self.dim)
+        if self.moe is not None:
+            b, h, w, c = x.shape
+            tokens = x.reshape(-1, c)
+            y, aux = MoELayer(
+                dim=self.dim,
+                hidden=hidden,
+                num_experts=self.moe.get("num_experts", 8),
+                top_k=self.moe.get("top_k", 2),
+                gating=self.moe.get("gating", "cosine"),
+                noisy_gating=self.moe.get("noisy_gating", True),
+                capacity_factor=self.moe.get("capacity_factor", 1.5),
+                use_grn=self.use_grn,
+                name="ffn")(tokens, train=train)
+            x = y.reshape(b, h, w, c)
+        else:
+            x = nn.Dense(hidden, name="pwconv1")(x)
+            x = nn.gelu(x, approximate=False)
+            if self.use_grn:
+                x = GRN(hidden, name="grn")(x)
+            x = nn.Dense(self.dim, name="pwconv2")(x)
+        if self.layer_scale_init_value > 0 and not self.use_grn:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,))
+            x = x * gamma
+        x = shortcut + DropPath(self.drop_path_rate, name="drop_path")(
+            x, deterministic=not train)
+        return x, aux
+
+
+class ConvNeXtMoE(nn.Module):
+    """ConvNeXt with optional grid-MoE blocks (``ConvNeXt_moe``,
+    ``convnext_moe.py:407``)."""
+
+    arch: str = "tiny"
+    in_channels: int = 3
+    stem_patch_size: int = 4
+    drop_path_rate: float = 0.0
+    layer_scale_init_value: float = 1e-6
+    use_grn: bool = False
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    moe_block_inds: Sequence[Sequence[int]] = ((), (), (), ())
+    num_experts: int = 2
+    top_k: int = 2
+    gate: str = "cosine"
+    noisy_gating: bool = True
+    capacity_factor: float = 1.5
+    multi_input: bool = False
+    datasets: Sequence[str] = ("single",)
+
+    def _arch(self):
+        return ARCH_SETTINGS[self.arch]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        depths = self._arch()["depths"]
+        channels = self._arch()["channels"]
+        total = sum(depths)
+        dpr = np.linspace(0, self.drop_path_rate, total)
+
+        if self.multi_input:
+            # dataset-keyed stems; the reference currently routes all
+            # modalities through the shared 'single' stem after concat
+            x = nn.Conv(channels[0],
+                        (self.stem_patch_size, self.stem_patch_size),
+                        strides=self.stem_patch_size, padding="VALID",
+                        name="stem_single")(x)
+        else:
+            x = nn.Conv(channels[0],
+                        (self.stem_patch_size, self.stem_patch_size),
+                        strides=self.stem_patch_size, padding="VALID",
+                        name="stem_conv")(x)
+
+        outs = []
+        gate_losses = []
+        block_idx = 0
+        for i, (depth, dim) in enumerate(zip(depths, channels)):
+            if i == 0:
+                x = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(x)
+            else:
+                x = nn.LayerNorm(epsilon=1e-6, name=f"downsample_norm{i}")(x)
+                x = nn.Conv(dim, (2, 2), strides=2, padding="VALID",
+                            name=f"downsample_conv{i}")(x)
+            moe_inds = [q for q in self.moe_block_inds[i] if q < depth]
+            for j in range(depth):
+                moe_cfg = None
+                if j in moe_inds:
+                    moe_cfg = {
+                        "num_experts": self.num_experts,
+                        "top_k": self.top_k,
+                        "gating": self.gate,
+                        "noisy_gating": self.noisy_gating,
+                        "capacity_factor": self.capacity_factor,
+                    }
+                x, aux = ConvNeXtBlock(
+                    dim=dim,
+                    drop_path_rate=float(dpr[block_idx + j]),
+                    layer_scale_init_value=self.layer_scale_init_value,
+                    use_grn=self.use_grn,
+                    moe=moe_cfg,
+                    name=f"stage{i}_block{j}")(x, train=train)
+                if aux is not None:
+                    gate_losses.append(aux)
+            block_idx += depth
+            if i in self.out_indices:
+                outs.append(nn.LayerNorm(
+                    epsilon=1e-6, name=f"out_norm{i}")(x))
+
+        gate_loss = None
+        if gate_losses:
+            gate_loss = sum(gate_losses) / len(gate_losses)
+        return tuple(outs), gate_loss

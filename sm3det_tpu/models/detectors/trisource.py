@@ -1,0 +1,287 @@
+"""TriSource detector (H1-R2): one backbone+neck, three task heads.
+
+Parity target:
+``mmrotate/models/detectors/trisource_H1stage_R2stage_detector.py:27-435``.
+One shared (MoE) backbone consumes the concatenated SAR+RGB+IR batch; the
+MultitaskFPN serves the GFL branch with ``start_level=1,
+add_extra_convs='on_output'`` and the two Oriented R-CNN branches with the
+full pyramid (``:154-169``); losses are prefixed ``sar_/rgb_/ifr_`` and the
+MoE ``gate_loss`` is added (``:277``). Test-time routing picks one modality
+per call (``simple_test`` ``:371``).
+
+TPU re-design: the per-iteration batch composition is STATIC
+(``source_ratio`` e.g. [2,1,1]) so the whole heterogeneous train step
+compiles to one XLA program — no host control flow, no ragged splits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...core.anchor import AnchorGenerator
+from ...core.bbox.coders import DeltaXYWHAOBBoxCoder, MidpointOffsetCoder
+from ..backbones.convnext import ConvNeXtMoE
+from ..dense_heads.gfl_head import GFLHead, gfl_get_bboxes, gfl_loss
+from ..dense_heads.oriented_rpn_head import (OrientedRPNHead,
+                                             rpn_get_proposals, rpn_loss)
+from ..necks.fpn import MultitaskFPN
+from ..roi_heads.oriented_roi_head import (RotatedShared2FCBBoxHead,
+                                           bbox_head_loss,
+                                           extract_rotated_roi_feats,
+                                           roi_head_get_bboxes,
+                                           sample_rois_for_training)
+
+DEFAULT_MODEL_CFG: Dict[str, Any] = dict(
+    num_classes=26,
+    angle_version="le90",
+    backbone=dict(
+        arch="tiny",
+        drop_path_rate=0.1,
+        moe_block_inds=((), (), (0, 2, 4, 6, 8), (0, 2)),
+        num_experts=8,
+        top_k=3,
+        gate="cosine",
+        capacity_factor=1.5,
+    ),
+    neck=dict(in_channels=(96, 192, 384, 768), out_channels=256,
+              num_outs=5, extra_level=1, add_extra_convs="on_output"),
+    sar=dict(strides=(8, 16, 32, 64, 128), reg_max=16,
+             nms_pre=1000, score_thr=0.05, nms_iou=0.6, max_per_img=100),
+    rgb=dict(rpn_strides=(4, 8, 16, 32, 64),
+             rpn_sample=256, rcnn_sample=512,
+             rpn_nms_pre=2000, rpn_max=2000, rpn_nms_iou=0.8,
+             rcnn_score_thr=0.05, rcnn_nms_iou=0.1, rcnn_max=2000),
+)
+
+
+def make_sar_anchor_generator(strides=(8, 16, 32, 64, 128)):
+    """GFL: single anchor per cell, octave base 8 (config :35-40)."""
+    return AnchorGenerator(strides=strides, ratios=[1.0],
+                           octave_base_scale=8, scales_per_octave=1)
+
+
+def make_rpn_anchor_generator(strides=(4, 8, 16, 32, 64)):
+    """Oriented RPN: scales [8] x ratios [.5, 1, 2] (config :52-57)."""
+    return AnchorGenerator(strides=strides, ratios=[0.5, 1.0, 2.0],
+                           scales=[8])
+
+
+def make_rpn_coder(version="le90"):
+    return MidpointOffsetCoder(
+        angle_range=version,
+        target_means=(0.,) * 6,
+        target_stds=(1., 1., 1., 1., 0.5, 0.5))
+
+
+def make_rcnn_coder(version="le90"):
+    return DeltaXYWHAOBBoxCoder(
+        angle_range=version,
+        target_means=(0.,) * 5,
+        target_stds=(0.1, 0.1, 0.2, 0.2, 0.1),
+        edge_swap=True, proj_xy=True)
+
+
+class TriSourceDetector(nn.Module):
+    """Flagship SM3Det model. ``cfg`` follows DEFAULT_MODEL_CFG."""
+
+    cfg: Dict[str, Any]
+
+    def setup(self):
+        c = self.cfg
+        b = c["backbone"]
+        self.backbone = ConvNeXtMoE(
+            arch=b.get("arch", "tiny"),
+            drop_path_rate=b.get("drop_path_rate", 0.0),
+            moe_block_inds=tuple(tuple(i) for i in
+                                 b.get("moe_block_inds",
+                                       ((), (), (), ()))),
+            num_experts=b.get("num_experts", 2),
+            top_k=b.get("top_k", 2),
+            gate=b.get("gate", "cosine"),
+            noisy_gating=b.get("noisy_gating", True),
+            capacity_factor=b.get("capacity_factor", 1.5),
+            multi_input=True,
+            name="backbone")
+        n = c["neck"]
+        self.neck = MultitaskFPN(
+            in_channels=tuple(n["in_channels"]),
+            out_channels=n["out_channels"],
+            num_outs=n["num_outs"],
+            extra_level=n.get("extra_level", 1),
+            add_extra_convs=False,   # default call mode: maxpool-free...
+            name="neck")
+        self.sar_bbox_head = GFLHead(
+            num_classes=c["num_classes"],
+            strides=tuple(c["sar"]["strides"]),
+            reg_max=c["sar"]["reg_max"],
+            name="sar_bbox_head")
+        self.rgb_rpn_head = OrientedRPNHead(name="rgb_rpn_head")
+        self.ifr_rpn_head = OrientedRPNHead(name="ifr_rpn_head")
+        self.rgb_roi_head = RotatedShared2FCBBoxHead(
+            num_classes=c["num_classes"], name="rgb_roi_head")
+        self.ifr_roi_head = RotatedShared2FCBBoxHead(
+            num_classes=c["num_classes"], name="ifr_roi_head")
+
+    # ---- feature extraction -------------------------------------------
+
+    def _neck_sar(self, feats):
+        return self.neck(feats, start_level=1, add_extra_convs="on_output")
+
+    def _neck_rcnn(self, feats):
+        # reference init: add_extra_convs='on_output' (config :25-27)
+        return self.neck(feats, start_level=0, add_extra_convs="on_output")
+
+    def extract_feat_train(self, batch, source_ratio):
+        """Backbone on the concatenated batch, neck per modality."""
+        imgs = jnp.concatenate(
+            [batch["sar"]["img"], batch["rgb"]["img"], batch["ifr"]["img"]],
+            axis=0)
+        feats, gate_loss = self.backbone(imgs, train=True)
+        n_sar, n_rgb, n_ifr = source_ratio
+        sar_f = [f[:n_sar] for f in feats]
+        rgb_f = [f[n_sar:n_sar + n_rgb] for f in feats]
+        ifr_f = [f[n_sar + n_rgb:] for f in feats]
+        return (self._neck_sar(sar_f), self._neck_rcnn(rgb_f),
+                self._neck_rcnn(ifr_f)), gate_loss
+
+    # ---- training -----------------------------------------------------
+
+    def __call__(self, batch, source_ratio=(2, 1, 1), train=True):
+        """Training forward: returns the loss dict (unweighted sums are
+        already normalized per-branch like the reference)."""
+        c = self.cfg
+        version = c["angle_version"]
+        (sar_x, rgb_x, ifr_x), gate_loss = self.extract_feat_train(
+            batch, source_ratio)
+        losses: Dict[str, jnp.ndarray] = {}
+        if gate_loss is not None:
+            losses["gate_loss"] = gate_loss
+
+        # SAR: GFL
+        cls_scores, bbox_preds = self.sar_bbox_head(sar_x)
+        sar_gen = make_sar_anchor_generator(tuple(c["sar"]["strides"]))
+        sar_losses = gfl_loss(
+            cls_scores, bbox_preds,
+            batch["sar"]["gt_bboxes"], batch["sar"]["gt_labels"],
+            batch["sar"]["gt_mask"], sar_gen, c["num_classes"],
+            reg_max=c["sar"]["reg_max"], strides=tuple(c["sar"]["strides"]))
+        losses.update({f"sar_{k}": v for k, v in sar_losses.items()})
+
+        # RGB / IFR: Oriented R-CNN
+        rpn_gen = make_rpn_anchor_generator(tuple(c["rgb"]["rpn_strides"]))
+        rpn_coder = make_rpn_coder(version)
+        rcnn_coder = make_rcnn_coder(version)
+        for key, feats_m, rpn_head, roi_head in (
+                ("rgb", rgb_x, self.rgb_rpn_head, self.rgb_roi_head),
+                ("ifr", ifr_x, self.ifr_rpn_head, self.ifr_roi_head)):
+            data = batch[key]
+            rpn_cls, rpn_reg = rpn_head(feats_m)
+            r_losses = rpn_loss(
+                self.make_rng("sampling"), rpn_cls, rpn_reg,
+                data["gt_obbs"], data["gt_mask"], rpn_gen, rpn_coder,
+                version=version, num_sample=c["rgb"]["rpn_sample"])
+            losses.update({f"{key}_{k}": v for k, v in r_losses.items()})
+
+            proposals, p_scores, p_valid = rpn_get_proposals(
+                jax.lax.stop_gradient(rpn_cls),
+                jax.lax.stop_gradient(rpn_reg),
+                rpn_gen, rpn_coder, img_shape=None,
+                nms_pre=c["rgb"]["rpn_nms_pre"],
+                max_per_img=c["rgb"]["rpn_max"],
+                iou_thr=c["rgb"]["rpn_nms_iou"])
+
+            rngs = jax.random.split(
+                self.make_rng("sampling"), proposals.shape[0])
+            sampled = jax.vmap(
+                lambda r, p, pv, g, gl, gm: sample_rois_for_training(
+                    r, p, pv, g, gl, gm, num=c["rgb"]["rcnn_sample"])
+            )(rngs, proposals, p_valid, data["gt_obbs"],
+              data["gt_labels"], data["gt_mask"])
+
+            # build (N, 6) rois with batch indices and pool
+            bsz, s = sampled["rois"].shape[:2]
+            batch_idx = jnp.repeat(
+                jnp.arange(bsz, dtype=jnp.float32), s)[:, None]
+            rois6 = jnp.concatenate(
+                [batch_idx, sampled["rois"].reshape(-1, 5)], axis=-1)
+            roi_feats = extract_rotated_roi_feats(feats_m, rois6)
+            cls_logits, reg_pred = roi_head(roi_feats)
+            cls_logits = cls_logits.reshape(bsz, s, -1)
+            reg_pred = reg_pred.reshape(bsz, s, -1)
+
+            l_cls, l_reg, n_valid, n_pos = jax.vmap(
+                lambda cl, rp, sm, g, gl: bbox_head_loss(
+                    cl, rp, sm, g, gl, rcnn_coder, c["num_classes"])
+            )(cls_logits, reg_pred, sampled, data["gt_obbs"],
+              data["gt_labels"])
+            total = jnp.maximum(jnp.sum(n_valid).astype(jnp.float32), 1.0)
+            losses[f"{key}_loss_cls"] = jnp.sum(l_cls) / total
+            losses[f"{key}_loss_bbox"] = jnp.sum(l_reg) / total
+        return losses
+
+    # ---- testing ------------------------------------------------------
+
+    def simple_test_sar(self, imgs, img_shape=(800, 800)):
+        c = self.cfg
+        feats, _ = self.backbone(imgs, train=False)
+        sar_x = self._neck_sar(list(feats))
+        cls_scores, bbox_preds = self.sar_bbox_head(sar_x)
+        gen = make_sar_anchor_generator(tuple(c["sar"]["strides"]))
+        return gfl_get_bboxes(
+            cls_scores, bbox_preds, gen, c["num_classes"], img_shape,
+            reg_max=c["sar"]["reg_max"], strides=tuple(c["sar"]["strides"]),
+            nms_pre=c["sar"]["nms_pre"], score_thr=c["sar"]["score_thr"],
+            iou_thr=c["sar"]["nms_iou"], max_per_img=c["sar"]["max_per_img"])
+
+    def _simple_test_rcnn(self, imgs, rpn_head, roi_head, img_shape,
+                          max_per_img=None):
+        c = self.cfg
+        version = c["angle_version"]
+        feats, _ = self.backbone(imgs, train=False)
+        x = self._neck_rcnn(list(feats))
+        rpn_cls, rpn_reg = rpn_head(x)
+        rpn_gen = make_rpn_anchor_generator(tuple(c["rgb"]["rpn_strides"]))
+        rpn_coder = make_rpn_coder(version)
+        proposals, p_scores, p_valid = rpn_get_proposals(
+            rpn_cls, rpn_reg, rpn_gen, rpn_coder, img_shape=img_shape,
+            nms_pre=c["rgb"]["rpn_nms_pre"], max_per_img=c["rgb"]["rpn_max"],
+            iou_thr=c["rgb"]["rpn_nms_iou"])
+        bsz, s = proposals.shape[:2]
+        batch_idx = jnp.repeat(
+            jnp.arange(bsz, dtype=jnp.float32), s)[:, None]
+        rois6 = jnp.concatenate(
+            [batch_idx, proposals.reshape(-1, 5)], axis=-1)
+        roi_feats = extract_rotated_roi_feats(x, rois6)
+        cls_logits, reg_pred = roi_head(roi_feats)
+        cls_logits = cls_logits.reshape(bsz, s, -1)
+        reg_pred = reg_pred.reshape(bsz, s, -1)
+        rcnn_coder = make_rcnn_coder(version)
+        mx = max_per_img or c["rgb"]["rcnn_max"]
+        return jax.vmap(
+            lambda cl, rp, pr, pv: roi_head_get_bboxes(
+                cl, rp, pr, pv, rcnn_coder, c["num_classes"],
+                img_shape=img_shape, score_thr=c["rgb"]["rcnn_score_thr"],
+                iou_thr=c["rgb"]["rcnn_nms_iou"], max_per_img=mx)
+        )(cls_logits, reg_pred, proposals, p_valid)
+
+    def simple_test_rgb(self, imgs, img_shape=(800, 800)):
+        return self._simple_test_rcnn(
+            imgs, self.rgb_rpn_head, self.rgb_roi_head, img_shape)
+
+    def simple_test_ifr(self, imgs, img_shape=(800, 800)):
+        return self._simple_test_rcnn(
+            imgs, self.ifr_rpn_head, self.ifr_roi_head, img_shape)
+
+    def simple_test(self, imgs, subdataset: str, img_shape=(800, 800)):
+        """Route on subdataset like the reference ``simple_test`` (:371)."""
+        if subdataset == "sar":
+            return self.simple_test_sar(imgs, img_shape)
+        if subdataset == "rgb":
+            return self.simple_test_rgb(imgs, img_shape)
+        if subdataset == "ifr":
+            return self.simple_test_ifr(imgs, img_shape)
+        raise ValueError(subdataset)

@@ -1,0 +1,100 @@
+"""Common NN building blocks (flax.linen, NHWC layouts).
+
+TPU-native equivalents of the mmcv CNN bricks used by the reference
+(``mmcv/mmcv/cnn/bricks/conv_module.py``, ConvNeXt's LayerNorm2d/GRN at
+``mmrotate/models/backbones/convnext_moe.py:30,68``, timm DropPath).
+NHWC + channels-last norm means "LayerNorm2d" is just LayerNorm here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (timm semantics)."""
+
+    rate: float = 0.0
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: Optional[bool] = None):
+        det = nn.merge_param(
+            "deterministic", self.deterministic, deterministic)
+        if det or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class GRN(nn.Module):
+    """Global Response Normalization (ConvNeXt-V2;
+    ``convnext_moe.py:68``). NHWC: norm over spatial dims."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        gx = jnp.sqrt(jnp.sum(x * x, axis=(1, 2), keepdims=True))
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + self.eps)
+        return gamma * (x * nx) + beta + x
+
+
+class ConvModule(nn.Module):
+    """conv(+norm)(+act) brick (mmcv ``ConvModule`` behavior).
+
+    NHWC; supports 'GN' group norm, 'BN' (as GroupNorm(1)-free batch-stat
+    -less norm is wrong — we use LayerNorm-style or GN; detection necks/
+    heads in the SM3Det configs use either no norm or GN, never SyncBN).
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int | str = "SAME"
+    norm: Optional[str] = None      # None | 'GN'
+    num_groups: int = 32
+    act: Optional[str] = None       # None | 'relu' | 'gelu'
+    use_bias: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x):
+        bias = self.use_bias if self.use_bias is not None \
+            else self.norm is None
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride), padding=pad,
+                    use_bias=bias, name="conv")(x)
+        if self.norm == "GN":
+            x = nn.GroupNorm(num_groups=self.num_groups, name="gn")(x)
+        elif self.norm == "LN":
+            x = nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+        if self.act == "relu":
+            x = nn.relu(x)
+        elif self.act == "gelu":
+            x = nn.gelu(x)
+        return x
+
+
+class Scale(nn.Module):
+    """Learnable scalar multiplier (GFL per-level reg scale)."""
+
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param("scale",
+                       nn.initializers.constant(self.init_value), ())
+        return x * s

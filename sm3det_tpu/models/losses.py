@@ -1,0 +1,254 @@
+"""Detection losses (pure jnp), weighted-and-masked for static shapes.
+
+Covers the losses used by the SM3Det configs and the zoo
+(SURVEY.md §2.2): Quality Focal / Distribution Focal (GFL), GIoU,
+Smooth L1, sigmoid/softmax cross-entropy, sigmoid focal loss
+(reference CUDA op ``focal_loss_cuda.cu`` — here plain jnp; XLA fuses it),
+plus the Gaussian-distance family (GWD/KLD) and rotated IoU loss used by
+other detectors (``mmrotate/models/losses/``).
+
+Every loss takes an elementwise ``weight`` and an ``avg_factor`` so the
+caller controls masking/normalization exactly as the reference's
+``weighted_loss`` decorator does.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.box_convert import obb2poly
+from ..ops.rotated_iou import box_iou_rotated
+
+
+def _reduce(loss, weight=None, avg_factor=None):
+    if weight is not None:
+        loss = loss * weight
+    if avg_factor is None:
+        return jnp.mean(loss)
+    return jnp.sum(loss) / jnp.maximum(avg_factor, 1e-6)
+
+
+# --------------------------------------------------------------------------
+# Classification
+# --------------------------------------------------------------------------
+
+def sigmoid_cross_entropy(logits, labels, weight=None, avg_factor=None):
+    """Binary CE with logits; labels same shape (0/1 float)."""
+    loss = jnp.maximum(logits, 0) - logits * labels + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return _reduce(loss, weight, avg_factor)
+
+
+def softmax_cross_entropy(logits, labels, weight=None, avg_factor=None,
+                          num_classes=None):
+    """CE with integer labels; labels (N,) int, logits (N, C)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return _reduce(nll, weight, avg_factor)
+
+
+def sigmoid_focal_loss(logits, labels, gamma=2.0, alpha=0.25,
+                       weight=None, avg_factor=None):
+    """mmcv sigmoid_focal_loss: labels (N,) int in [0, C] where C=bg.
+
+    Matches ``mmcv/mmcv/ops/csrc/.../sigmoid_focal_loss_cuda_kernel.cuh``
+    semantics (one-vs-all per class, background = no positive class).
+    """
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    p = jax.nn.sigmoid(logits)
+    pt = jnp.where(onehot > 0, p, 1 - p)
+    alpha_t = jnp.where(onehot > 0, alpha, 1 - alpha)
+    ce = -jnp.log(jnp.clip(pt, 1e-12))
+    loss = alpha_t * ((1 - pt) ** gamma) * ce
+    loss = loss.sum(-1)
+    return _reduce(loss, weight, avg_factor)
+
+
+def quality_focal_loss(logits, labels, scores, beta=2.0,
+                       weight=None, avg_factor=None):
+    """Quality Focal Loss (GFL).
+
+    Args:
+        logits: (N, C) class logits (sigmoid).
+        labels: (N,) int class index; ``C`` (==num_classes) means background.
+        scores: (N,) quality targets (IoU) for positive samples.
+
+    mmdet ``QualityFocalLoss`` behavior: negatives regress all classes to 0
+    with weight p^beta; positives regress their class to the IoU score with
+    weight |score - p|^beta.
+    """
+    num_classes = logits.shape[-1]
+    p = jax.nn.sigmoid(logits)
+
+    # negatives part: BCE(p, 0) * p^beta for every class
+    zerolabel = jnp.zeros_like(logits)
+    bce_all = jnp.maximum(logits, 0) - logits * zerolabel + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    loss = bce_all * (p ** beta)
+
+    pos = labels < num_classes
+    pos_label = jnp.where(pos, labels, 0)
+    onehot = jax.nn.one_hot(pos_label, num_classes, dtype=logits.dtype)
+    score_t = scores[..., None] * onehot
+    bce_pos = jnp.maximum(logits, 0) - logits * score_t + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    mod = jnp.abs(score_t - p) ** beta
+    pos_loss = bce_pos * mod
+    loss = jnp.where((pos[..., None]) & (onehot > 0), pos_loss, loss)
+    loss = loss.sum(-1)
+    return _reduce(loss, weight, avg_factor)
+
+
+def distribution_focal_loss(pred, label, weight=None, avg_factor=None):
+    """DFL: cross-entropy to the two integer bins bracketing the target.
+
+    Args:
+        pred: (N, reg_max+1) distribution logits.
+        label: (N,) continuous targets in [0, reg_max].
+    """
+    dis_left = jnp.floor(label).astype(jnp.int32)
+    dis_right = dis_left + 1
+    weight_left = dis_right.astype(pred.dtype) - label
+    weight_right = label - dis_left.astype(pred.dtype)
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    n_bins = pred.shape[-1]
+    dis_right = jnp.minimum(dis_right, n_bins - 1)
+    nll_left = -jnp.take_along_axis(logp, dis_left[..., None], -1)[..., 0]
+    nll_right = -jnp.take_along_axis(logp, dis_right[..., None], -1)[..., 0]
+    loss = nll_left * weight_left + nll_right * weight_right
+    return _reduce(loss, weight, avg_factor)
+
+
+# --------------------------------------------------------------------------
+# Box regression
+# --------------------------------------------------------------------------
+
+def smooth_l1_loss(pred, target, beta=1.0, weight=None, avg_factor=None):
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta,
+                     diff - 0.5 * beta)
+    return _reduce(loss, weight, avg_factor)
+
+
+def l1_loss(pred, target, weight=None, avg_factor=None):
+    return _reduce(jnp.abs(pred - target), weight, avg_factor)
+
+
+def giou_loss(pred, target, eps=1e-7, weight=None, avg_factor=None):
+    """GIoU loss on xyxy boxes (mmdet semantics)."""
+    # areas
+    ap = jnp.clip(pred[..., 2] - pred[..., 0], 0) * \
+        jnp.clip(pred[..., 3] - pred[..., 1], 0)
+    at = jnp.clip(target[..., 2] - target[..., 0], 0) * \
+        jnp.clip(target[..., 3] - target[..., 1], 0)
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = ap + at - inter + eps
+    iou = inter / union
+    # enclosing box
+    lt_c = jnp.minimum(pred[..., :2], target[..., :2])
+    rb_c = jnp.maximum(pred[..., 2:], target[..., 2:])
+    wh_c = jnp.clip(rb_c - lt_c, 0)
+    area_c = wh_c[..., 0] * wh_c[..., 1] + eps
+    giou = iou - (area_c - union) / area_c
+    return _reduce(1 - giou, weight, avg_factor)
+
+
+def rotated_iou_loss(pred, target, mode="linear", eps=1e-6,
+                     weight=None, avg_factor=None):
+    """Differentiable rotated IoU loss (``rotated_iou_loss.py:62``);
+    the polygon-clip IoU in :mod:`sm3det_tpu.ops.rotated_iou` is already
+    differentiable, replacing the custom CUDA grad."""
+    ious = box_iou_rotated(pred, target, aligned=True)
+    ious = jnp.clip(ious, eps, 1.0)
+    if mode == "linear":
+        loss = 1 - ious
+    elif mode == "log":
+        loss = -jnp.log(ious)
+    elif mode == "square":
+        loss = 1 - ious ** 2
+    else:
+        raise ValueError(mode)
+    return _reduce(loss, weight, avg_factor)
+
+
+# --------------------------------------------------------------------------
+# Gaussian-distribution losses (GWD / KLD) — mmrotate gaussian_dist_loss.py
+# --------------------------------------------------------------------------
+
+def obb2gaussian(obbs):
+    """OBB -> (mean (..,2), covariance (..,2,2)).
+
+    ``gaussian_dist_loss.py:11`` ``xy_wh_r_2_xy_sigma``: sigma =
+    R diag(w/2, h/2)^2 R^T.
+    """
+    xy = obbs[..., :2]
+    wh = jnp.clip(obbs[..., 2:4], 1e-7, 1e7) * 0.5
+    r = obbs[..., 4]
+    cos_r, sin_r = jnp.cos(r), jnp.sin(r)
+    rmat = jnp.stack([
+        jnp.stack([cos_r, -sin_r], -1),
+        jnp.stack([sin_r, cos_r], -1),
+    ], -2)                                            # (..., 2, 2)
+    s = wh[..., None] * jnp.eye(2)                    # diag(w/2, h/2)
+    sigma = rmat @ (s * s) @ jnp.swapaxes(rmat, -1, -2)
+    return xy, sigma
+
+
+def gwd_loss(pred, target, fun="log1p", tau=1.0, alpha=1.0,
+             normalize=True, weight=None, avg_factor=None):
+    """Gaussian Wasserstein distance loss (``gaussian_dist_loss.py``)."""
+    mu_p, sig_p = obb2gaussian(pred)
+    mu_t, sig_t = obb2gaussian(target)
+    xy_dist = jnp.sum((mu_p - mu_t) ** 2, axis=-1)
+    tr = jnp.trace(sig_p, axis1=-2, axis2=-1) + \
+        jnp.trace(sig_t, axis1=-2, axis2=-1)
+
+    # sqrt of product term via closed form for 2x2 SPD matrices
+    prod = sig_p @ sig_t
+    det_prod = jnp.clip(jnp.linalg.det(prod), 0)
+    tr_prod = jnp.trace(prod, axis1=-2, axis2=-1)
+    cross = jnp.sqrt(jnp.clip(tr_prod + 2 * jnp.sqrt(det_prod), 0))
+    dist = jnp.clip(xy_dist + tr - 2 * cross, 0)
+    if normalize:
+        scale = 2 * (jnp.sqrt(jnp.clip(
+            jnp.linalg.det(sig_p) * jnp.linalg.det(sig_t), 1e-7)) ** 0.25)
+        dist = dist / jnp.maximum(scale, 1e-7)
+    if fun == "log1p":
+        loss = jnp.log1p(jnp.sqrt(jnp.clip(dist, 1e-7)))
+    elif fun == "sqrt":
+        loss = jnp.sqrt(jnp.clip(dist, 1e-7))
+    else:
+        loss = dist
+    if fun != "none":
+        loss = 1 - 1 / (tau + loss) if tau >= 1.0 else loss
+    return _reduce(loss, weight, avg_factor)
+
+
+def kld_loss(pred, target, fun="log1p", tau=1.0,
+             weight=None, avg_factor=None):
+    """Kullback-Leibler divergence loss between box Gaussians."""
+    mu_p, sig_p = obb2gaussian(pred)
+    mu_t, sig_t = obb2gaussian(target)
+    delta = (mu_p - mu_t)[..., None]                  # (..., 2, 1)
+    inv_t = jnp.linalg.inv(sig_t)
+    term1 = jnp.squeeze(
+        jnp.swapaxes(delta, -1, -2) @ inv_t @ delta, (-1, -2))
+    term2 = jnp.trace(inv_t @ sig_p, axis1=-2, axis2=-1)
+    term3 = jnp.log(jnp.clip(
+        jnp.linalg.det(sig_t) / jnp.clip(jnp.linalg.det(sig_p), 1e-7),
+        1e-7))
+    dist = 0.5 * (term1 + term2 + term3 - 2)
+    dist = jnp.clip(dist, 0)
+    if fun == "log1p":
+        loss = jnp.log1p(jnp.sqrt(jnp.clip(dist, 1e-7)))
+    elif fun == "sqrt":
+        loss = jnp.sqrt(jnp.clip(dist, 1e-7))
+    else:
+        loss = dist
+    loss = 1 - 1 / (tau + loss) if tau >= 1.0 else loss
+    return _reduce(loss, weight, avg_factor)

@@ -1,0 +1,88 @@
+"""Train step builder: one jitted SPMD program = forward + losses + DLA +
+AdamW update (replaces IterBasedRunner.train + OptimizerHook +
+DynamicLrUpdaterHook per-iter host logic, SURVEY.md §3.1 hot loop).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.detectors.trisource import TriSourceDetector
+from .dla import DLAConfig
+from .optim import TrainOptState, make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt: TrainOptState
+    rng: jax.Array
+
+
+def init_trisource(rng, model: TriSourceDetector, sample_batch,
+                   source_ratio=(2, 1, 1)):
+    p_rng, d_rng, n_rng, s_rng = jax.random.split(rng, 4)
+    variables = model.init(
+        {"params": p_rng, "dropout": d_rng, "moe_noise": n_rng,
+         "sampling": s_rng},
+        sample_batch, source_ratio=source_ratio, train=True)
+    return variables["params"]
+
+
+def build_train_step(model: TriSourceDetector, init_fn, update_fn,
+                     source_ratio=(2, 1, 1), loss_weights=None,
+                     donate: bool = True):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    The loss is the plain sum of the loss dict (the reference's
+    ``_parse_losses``); optional ``loss_weights`` reweights terms
+    (uncertainty/dwa variants hook in here).
+    """
+
+    def loss_fn(params, batch, rngs):
+        losses = model.apply(
+            {"params": params}, batch, source_ratio=source_ratio,
+            train=True, rngs=rngs)
+        total = jnp.zeros(())
+        for k, v in losses.items():
+            w = 1.0 if loss_weights is None else loss_weights.get(k, 1.0)
+            total = total + w * v
+        return total, losses
+
+    def train_step(state: TrainState, batch):
+        rng, r_drop, r_noise, r_samp = jax.random.split(state.rng, 4)
+        rngs = {"dropout": r_drop, "moe_noise": r_noise, "sampling": r_samp}
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rngs)
+        updates, opt_state = update_fn(
+            grads, state.opt, state.params, losses)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        return TrainState(params=params, opt=opt_state, rng=rng), metrics
+
+    return train_step
+
+
+def shard_train_step(train_step, mesh, state_shardings=None):
+    """jit the step over a mesh: batch sharded on 'data', state replicated
+    except expert-parallel params."""
+    from ..parallel.mesh import batch_sharding, param_sharding
+
+    def jit_with(state, batch):
+        p_sh = param_sharding(mesh, state.params)
+        st_sh = TrainState(
+            params=p_sh,
+            opt=jax.tree.map(
+                lambda _: NamedSharding(mesh, P()), state.opt),
+            rng=NamedSharding(mesh, P()))
+        b_sh = batch_sharding(mesh, batch)
+        return jax.jit(
+            train_step,
+            in_shardings=(st_sh, b_sh),
+            out_shardings=(st_sh, NamedSharding(mesh, P())))
+
+    return jit_with

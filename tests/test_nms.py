@@ -1,0 +1,105 @@
+"""Static-shape NMS tests against a python reference implementation
+(golden-fixture style of ``mmcv/tests/test_ops/test_nms_rotated.py``)."""
+
+import numpy as np
+
+from sm3det_tpu.ops import (box_iou_rotated, bbox_overlaps, nms, nms_rotated,
+                            multiclass_nms_rotated, batched_nms)
+
+
+def _py_greedy_nms(iou, scores, thr, score_thr=-np.inf):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(scores), bool)
+    for i in order:
+        if suppressed[i] or scores[i] <= score_thr:
+            continue
+        keep.append(i)
+        suppressed |= iou[i] > thr
+    return keep
+
+
+def test_nms_simple():
+    boxes = np.array([
+        [0, 0, 10, 10],
+        [1, 1, 11, 11],     # heavy overlap with 0
+        [20, 20, 30, 30],
+        [21, 21, 31, 31],   # heavy overlap with 2
+    ], np.float32)
+    scores = np.array([0.9, 0.8, 0.7, 0.95], np.float32)
+    dets, idx, valid = nms(boxes, scores, 0.5, max_out=4)
+    idx = np.asarray(idx)[np.asarray(valid)]
+    assert set(idx.tolist()) == {3, 0}
+    # sorted by score
+    assert idx.tolist() == [3, 0]
+    assert np.isclose(np.asarray(dets)[0, 4], 0.95)
+
+
+def test_nms_matches_python_reference():
+    rng = np.random.RandomState(0)
+    n = 100
+    boxes = rng.uniform(0, 80, (n, 2)).astype(np.float32)
+    wh = rng.uniform(10, 40, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([boxes, boxes + wh], -1)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    iou = np.asarray(bbox_overlaps(boxes, boxes))
+    for thr in [0.3, 0.5, 0.7]:
+        expected = _py_greedy_nms(iou, scores, thr)
+        _, idx, valid = nms(boxes, scores, thr, max_out=n)
+        got = np.asarray(idx)[np.asarray(valid)].tolist()
+        assert got == expected, thr
+
+
+def test_nms_rotated_matches_python_reference():
+    rng = np.random.RandomState(1)
+    n = 60
+    boxes = np.stack([
+        rng.uniform(0, 100, n), rng.uniform(0, 100, n),
+        rng.uniform(10, 40, n), rng.uniform(10, 40, n),
+        rng.uniform(-1.5, 1.5, n)], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    iou = np.asarray(box_iou_rotated(boxes, boxes))
+    for thr in [0.1, 0.5]:
+        expected = _py_greedy_nms(iou, scores, thr)
+        _, idx, valid = nms_rotated(boxes, scores, thr, max_out=n)
+        got = np.asarray(idx)[np.asarray(valid)].tolist()
+        assert got == expected, thr
+
+
+def test_nms_score_threshold():
+    boxes = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+    scores = np.array([0.9, 0.01], np.float32)
+    _, idx, valid = nms(boxes, scores, 0.5, max_out=2, score_thr=0.05)
+    assert np.asarray(valid).sum() == 1
+    assert np.asarray(idx)[0] == 0
+
+
+def test_batched_nms_classes_dont_suppress():
+    boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    idxs = np.array([0, 1], np.int32)
+    _, idx, valid = batched_nms(boxes, scores, idxs, 0.5, max_out=2)
+    assert np.asarray(valid).sum() == 2
+
+
+def test_multiclass_nms_rotated():
+    # two classes; boxes overlap but different classes are both kept
+    bboxes = np.array([
+        [10, 10, 8, 8, 0.0],
+        [10, 10, 8, 8, 0.1],
+        [50, 50, 8, 8, 0.5],
+    ], np.float32)
+    scores = np.array([
+        [0.9, 0.05, 0.0],
+        [0.1, 0.85, 0.0],
+        [0.8, 0.1, 0.0],
+    ], np.float32)   # last col = background
+    dets, labels, valid = multiclass_nms_rotated(
+        bboxes, scores, score_thr=0.3, iou_thr=0.5, max_num=6, pre_nms=9)
+    v = np.asarray(valid)
+    labels = np.asarray(labels)[v]
+    dets = np.asarray(dets)[v]
+    assert len(labels) == 3
+    # sorted by score: 0.9(cls0), 0.85(cls1), 0.8(cls0)
+    assert np.allclose(dets[:, 5], [0.9, 0.85, 0.8], atol=1e-5)
+    assert labels.tolist() == [0, 1, 0]
