@@ -1,0 +1,236 @@
+"""Dataset loaders (host-side, numpy).
+
+Capability parity with ``mmrotate/datasets/``:
+
+- ``DOTADataset``: DOTA-style TXT polygon annotation folders
+  (``dota.py:61-162``) with pickle caching; ``CLASSES`` per benchmark.
+- ``CocoDetDataset``: COCO-json HBB datasets (SARDet-50K path,
+  ``sardet_hbb_trisource.py:6``).
+- ``SyntheticDetDataset``: in-memory fixture generator (the fake-dataset
+  harness of SURVEY.md §4) so train/eval run without external data.
+
+Every dataset yields samples with STATIC-shape tensors after the pipeline:
+``img (S,S,3) float32``, padded gts + mask (see data/transforms.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.box_convert import poly2obb_np
+from . import transforms as T
+
+# 26-class union of SARDet-50K + DOTA + DroneVehicle
+# (``sardet_dota_ifred.py:8`` / ``sardet_hbb_trisource.py:6``)
+SOI_CLASSES = (
+    "ship", "aircraft", "car", "tank", "bridge", "harbor",
+    "plane", "baseball-diamond", "ground-track-field",
+    "small-vehicle", "large-vehicle", "tennis-court",
+    "basketball-court", "storage-tank", "soccer-ball-field",
+    "roundabout", "swimming-pool", "helicopter",
+    "container-crane", "freight-car", "truck", "bus", "van",
+    "trailer", "excavator", "helipad")
+
+DOTA_CLASSES = (
+    "plane", "baseball-diamond", "bridge", "ground-track-field",
+    "small-vehicle", "large-vehicle", "ship", "tennis-court",
+    "basketball-court", "storage-tank", "soccer-ball-field",
+    "roundabout", "harbor", "swimming-pool", "helicopter")
+
+
+class BaseDetDataset:
+    """Sample dict: {img uint8 HWC, obbs (N,5) or hbbs (N,4), labels}."""
+
+    CLASSES: Sequence[str] = ()
+    box_type = "obb"   # 'obb' | 'hbb'
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def get_raw(self, idx: int) -> Dict:
+        raise NotImplementedError
+
+
+class DOTADataset(BaseDetDataset):
+    """DOTA TXT-poly annotation folder loader (``dota.py:61-162``).
+
+    ann_folder contains ``<img_id>.txt`` files with lines
+    ``x1 y1 x2 y2 x3 y3 x4 y4 class difficulty``.
+    """
+
+    box_type = "obb"
+
+    def __init__(self, ann_folder: str, img_folder: str,
+                 classes: Sequence[str] = DOTA_CLASSES,
+                 version: str = "le90", filter_difficulty: int = 100,
+                 cache: bool = True):
+        self.CLASSES = tuple(classes)
+        self.cls_to_id = {c: i for i, c in enumerate(self.CLASSES)}
+        self.ann_folder = ann_folder
+        self.img_folder = img_folder
+        self.version = version
+        self.filter_difficulty = filter_difficulty
+        cache_path = os.path.join(ann_folder, ".sm3det_cache.pkl")
+        if cache and os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                self.infos = pickle.load(f)
+        else:
+            self.infos = self._load_annotations()
+            if cache:
+                try:
+                    with open(cache_path, "wb") as f:
+                        pickle.dump(self.infos, f)
+                except OSError:
+                    pass
+
+    def _load_annotations(self) -> List[Dict]:
+        infos = []
+        for fname in sorted(os.listdir(self.ann_folder)):
+            if not fname.endswith(".txt"):
+                continue
+            img_id = fname[:-4]
+            polys, labels = [], []
+            with open(os.path.join(self.ann_folder, fname)) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) < 9:
+                        continue
+                    try:
+                        poly = [float(x) for x in parts[:8]]
+                    except ValueError:
+                        continue
+                    cls = parts[8]
+                    diff = int(parts[9]) if len(parts) > 9 else 0
+                    if cls not in self.cls_to_id:
+                        continue
+                    if diff > self.filter_difficulty:
+                        continue
+                    polys.append(poly)
+                    labels.append(self.cls_to_id[cls])
+            obbs = poly2obb_np(
+                np.asarray(polys, np.float32), self.version) \
+                if polys else np.zeros((0, 5), np.float32)
+            infos.append(dict(img_id=img_id,
+                              obbs=obbs,
+                              labels=np.asarray(labels, np.int32)))
+        return infos
+
+    def __len__(self):
+        return len(self.infos)
+
+    def get_raw(self, idx: int) -> Dict:
+        info = self.infos[idx]
+        img = self._read_image(info["img_id"])
+        return dict(img=img, obbs=info["obbs"].copy(),
+                    labels=info["labels"].copy(), img_id=info["img_id"])
+
+    def _read_image(self, img_id: str) -> np.ndarray:
+        for ext in (".png", ".jpg", ".bmp", ".tif"):
+            p = os.path.join(self.img_folder, img_id + ext)
+            if os.path.exists(p):
+                return _imread(p)
+        raise FileNotFoundError(img_id)
+
+
+class CocoDetDataset(BaseDetDataset):
+    """COCO-json HBB dataset (SARDet-50K)."""
+
+    box_type = "hbb"
+
+    def __init__(self, ann_file: str, img_folder: str,
+                 classes: Optional[Sequence[str]] = None):
+        with open(ann_file) as f:
+            coco = json.load(f)
+        cats = sorted(coco["categories"], key=lambda c: c["id"])
+        self.CLASSES = tuple(classes) if classes else tuple(
+            c["name"] for c in cats)
+        cat_to_label = {}
+        for c in cats:
+            if c["name"] in self.CLASSES:
+                cat_to_label[c["id"]] = self.CLASSES.index(c["name"])
+        imgs = {im["id"]: im for im in coco["images"]}
+        anns_by_img: Dict[int, List] = {}
+        for a in coco["annotations"]:
+            if a.get("iscrowd", 0):
+                continue
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+        self.infos = []
+        for img_id, im in imgs.items():
+            anns = anns_by_img.get(img_id, [])
+            boxes, labels = [], []
+            for a in anns:
+                if a["category_id"] not in cat_to_label:
+                    continue
+                x, y, w, h = a["bbox"]
+                boxes.append([x, y, x + w, y + h])
+                labels.append(cat_to_label[a["category_id"]])
+            self.infos.append(dict(
+                file_name=im["file_name"], img_id=img_id,
+                hbbs=np.asarray(boxes, np.float32).reshape(-1, 4),
+                labels=np.asarray(labels, np.int32)))
+        self.img_folder = img_folder
+
+    def __len__(self):
+        return len(self.infos)
+
+    def get_raw(self, idx: int) -> Dict:
+        info = self.infos[idx]
+        img = _imread(os.path.join(self.img_folder, info["file_name"]))
+        return dict(img=img, hbbs=info["hbbs"].copy(),
+                    labels=info["labels"].copy(), img_id=info["img_id"])
+
+
+class SyntheticDetDataset(BaseDetDataset):
+    """In-memory random dataset for tests/benchmarks (fake-data harness)."""
+
+    def __init__(self, n: int = 32, img_size: int = 256,
+                 num_classes: int = 26, box_type: str = "obb",
+                 max_objects: int = 12, seed: int = 0):
+        self.n = n
+        self.img_size = img_size
+        self.num_classes = num_classes
+        self.box_type = box_type
+        self.max_objects = max_objects
+        self.seed = seed
+        self.CLASSES = tuple(f"class_{i}" for i in range(num_classes))
+
+    def __len__(self):
+        return self.n
+
+    def get_raw(self, idx: int) -> Dict:
+        rng = np.random.RandomState(self.seed * 100003 + idx)
+        s = self.img_size
+        img = (rng.rand(s, s, 3) * 255).astype(np.uint8)
+        k = rng.randint(1, self.max_objects + 1)
+        labels = rng.randint(0, self.num_classes, k).astype(np.int32)
+        if self.box_type == "obb":
+            obbs = np.stack([
+                rng.uniform(0.15 * s, 0.85 * s, k),
+                rng.uniform(0.15 * s, 0.85 * s, k),
+                rng.uniform(0.05 * s, 0.2 * s, k),
+                rng.uniform(0.03 * s, 0.1 * s, k),
+                rng.uniform(-np.pi / 2, np.pi / 2, k)],
+                -1).astype(np.float32)
+            return dict(img=img, obbs=obbs, labels=labels, img_id=str(idx))
+        cx = rng.uniform(0.15 * s, 0.85 * s, k)
+        cy = rng.uniform(0.15 * s, 0.85 * s, k)
+        w = rng.uniform(0.05 * s, 0.2 * s, k)
+        h = rng.uniform(0.05 * s, 0.2 * s, k)
+        hbbs = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                        -1).astype(np.float32)
+        return dict(img=img, hbbs=hbbs, labels=labels, img_id=str(idx))
+
+
+def _imread(path: str) -> np.ndarray:
+    """Image read without cv2: PNG/JPG via PIL if available, else raises."""
+    try:
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"))[..., ::-1]  # BGR
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "no image backend available (PIL missing)") from e

@@ -1,0 +1,104 @@
+"""TriSource batch loader: pipeline + multi-source sampling -> static
+device batches (replaces DataLoader workers + DataContainer collate +
+MultiBranch re-keying, ``mmrotate/datasets/pipelines/transforms.py:64-121``).
+
+Each global step yields one dict:
+  {'sar': {img (Ns,S,S,3), gt_bboxes, gt_labels, gt_mask},
+   'rgb': {img (Nr,S,S,3), gt_obbs,  gt_labels, gt_mask},
+   'ifr': {...}}
+ready for ``jax.device_put`` with a 'data'-sharded layout.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from . import transforms as T
+from .datasets import BaseDetDataset
+from .sampler import MultiSourceSampler
+
+MODALITIES = ("sar", "rgb", "ifr")
+
+
+class PipelineCfg:
+    def __init__(self, img_size: int = 800, max_gt: int = 256,
+                 flip_prob: float = 0.5, rotate_ratio: float = 0.0,
+                 version: str = "le90",
+                 mean=(123.675, 116.28, 103.53),
+                 std=(58.395, 57.12, 57.375)):
+        self.img_size = img_size
+        self.max_gt = max_gt
+        self.flip_prob = flip_prob
+        self.rotate_ratio = rotate_ratio
+        self.version = version
+        self.mean = mean
+        self.std = std
+
+
+def run_pipeline(rng: np.random.RandomState, sample: Dict,
+                 cfg: PipelineCfg, train: bool = True) -> Dict:
+    """LoadImage -> RResize -> RRandomFlip -> (PolyRandomRotate) ->
+    Normalize -> Pad -> fixed-size GT pack."""
+    img = sample["img"]
+    obbs = sample.get("obbs")
+    hbbs = sample.get("hbbs")
+    labels = sample["labels"]
+
+    img, obbs, hbbs, _ = T.resize(
+        img, (cfg.img_size, cfg.img_size), obbs, hbbs, keep_ratio=True)
+    if train:
+        img, obbs, hbbs, _ = T.random_flip(
+            rng, img, obbs, hbbs, prob=cfg.flip_prob, version=cfg.version)
+        if cfg.rotate_ratio > 0 and obbs is not None:
+            img, obbs, labels = T.poly_random_rotate(
+                rng, img, obbs, labels, rotate_ratio=cfg.rotate_ratio,
+                version=cfg.version)
+    img = T.normalize(img, cfg.mean, cfg.std)
+    img = T.pad_to(img, (cfg.img_size, cfg.img_size))
+
+    out = {"img": img.astype(np.float32)}
+    if obbs is not None:
+        b, l, m = T.pad_gt(obbs, labels, cfg.max_gt, 5)
+        out.update(gt_obbs=b, gt_labels=l, gt_mask=m)
+    else:
+        b, l, m = T.pad_gt(hbbs, labels, cfg.max_gt, 4)
+        out.update(gt_bboxes=b, gt_labels=l, gt_mask=m)
+    return out
+
+
+class TriSourceLoader:
+    """Infinite iterator over composed [sar*k, rgb*m, ifr*n] batches."""
+
+    def __init__(self, datasets: Sequence[BaseDetDataset],
+                 source_ratio: Sequence[int],
+                 pipelines: Sequence[PipelineCfg],
+                 batches_per_step: int = 1,   # = data-parallel replicas
+                 seed: int = 0, host_id: int = 0, num_hosts: int = 1):
+        assert len(datasets) == 3 and len(source_ratio) == 3
+        self.datasets = list(datasets)
+        self.ratio = list(source_ratio)
+        self.pipelines = list(pipelines)
+        self.batches_per_step = batches_per_step
+        self.sampler = MultiSourceSampler(
+            [len(d) for d in datasets],
+            [r * batches_per_step for r in source_ratio],
+            seed=seed, host_id=host_id, num_hosts=num_hosts)
+        self.rng = np.random.RandomState(seed * 7919 + host_id)
+
+    def __iter__(self) -> Iterator[Dict]:
+        for batch_indices in self.sampler:
+            per_source: List[List[Dict]] = [[], [], []]
+            for src, idx in batch_indices:
+                raw = self.datasets[src].get_raw(idx)
+                per_source[src].append(
+                    run_pipeline(self.rng, raw, self.pipelines[src]))
+            out = {}
+            for mi, mod in enumerate(MODALITIES):
+                samples = per_source[mi]
+                stacked = {
+                    k: np.stack([s[k] for s in samples])
+                    for k in samples[0]}
+                out[mod] = stacked
+            yield out

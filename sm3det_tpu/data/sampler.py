@@ -1,0 +1,55 @@
+"""Deterministic multi-source batch composition.
+
+Parity target: ``mmrotate/datasets/samplers/multi_source_sampler.py:185-385``
+— an infinite sampler over a concatenation of datasets that draws exactly
+``source_ratio[i]`` samples from dataset i per batch, via per-rank strided
+infinite permutation streams.
+
+TPU re-design: a pure-python deterministic index generator parameterized by
+(seed, host_id, num_hosts); each host consumes a disjoint stride of every
+source's permutation stream, so global batches are reproducible without any
+inter-host communication (replaces ``sync_random_seed`` broadcast).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+
+class MultiSourceSampler:
+    """Yields batches of (source_id, index-within-source) tuples."""
+
+    def __init__(self, source_sizes: Sequence[int],
+                 source_ratio: Sequence[int], seed: int = 0,
+                 host_id: int = 0, num_hosts: int = 1,
+                 shuffle: bool = True):
+        assert len(source_sizes) == len(source_ratio)
+        self.sizes = list(source_sizes)
+        self.ratio = list(source_ratio)
+        self.seed = seed
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.shuffle = shuffle
+
+    def _stream(self, source: int) -> Iterator[int]:
+        """Infinite per-host index stream for one source (rank-strided
+        permutations, ``multi_source_sampler.py:287``)."""
+        n = self.sizes[source]
+        rng = np.random.RandomState(self.seed * 1000003 + source)
+        epoch = 0
+        while True:
+            perm = rng.permutation(n) if self.shuffle else np.arange(n)
+            for i in range(self.host_id, n, self.num_hosts):
+                yield int(perm[i])
+            epoch += 1
+
+    def __iter__(self) -> Iterator[List[Tuple[int, int]]]:
+        streams = [self._stream(s) for s in range(len(self.sizes))]
+        while True:
+            batch = []
+            for s, r in enumerate(self.ratio):
+                for _ in range(r):
+                    batch.append((s, next(streams[s])))
+            yield batch

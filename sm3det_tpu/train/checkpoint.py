@@ -1,0 +1,156 @@
+"""Checkpointing: orbax save/resume + torch-checkpoint ingestion.
+
+Parity targets (SURVEY.md §5 checkpoint/resume):
+- ``CheckpointHook`` + ``runner.resume()``: full state (params, optimizer,
+  DLA EMAs, step, rng) via orbax, ``find_latest_checkpoint`` semantics.
+- Backbone-specific pretrained loading with the **expert fan-out**: a dense
+  ConvNeXt FFN checkpoint replicates its pointwise-conv weights into every
+  MoE expert (``convnext_moe.py:694-705``) and the stem maps into the
+  ``dataset_stems`` slot (``:856-863``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state) -> str:
+    import orbax.checkpoint as ocp
+    path = os.path.join(os.path.abspath(ckpt_dir), f"iter_{step}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)   # overwrite like CheckpointHook
+    ckptr.wait_until_finished()
+    return path
+
+
+def find_latest_checkpoint(work_dir: str) -> Optional[str]:
+    """``mmrotate/utils/misc.py:7`` semantics on orbax dirs."""
+    if not os.path.isdir(work_dir):
+        return None
+    best, best_iter = None, -1
+    for name in os.listdir(work_dir):
+        m = re.fullmatch(r"iter_(\d+)", name)
+        if m and int(m.group(1)) > best_iter:
+            best_iter = int(m.group(1))
+            best = os.path.join(work_dir, name)
+    return best
+
+
+def load_checkpoint(path: str, target_state):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=target_state)
+
+
+# ---------------------------------------------------------------------------
+# torch -> JAX parameter ingestion
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch ``.pth`` (or safetensors) into numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return load_file(path)
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+def convnext_torch_to_jax(sd: Dict[str, np.ndarray], params: Dict,
+                          num_experts: int = 0,
+                          prefix: str = "backbone.") -> Dict:
+    """Map an mm-style ConvNeXt checkpoint onto our backbone params,
+    replicating dense FFN weights into every expert and routing the stem
+    into the shared 'single' stem (the reference's ``init_weights`` fan-out,
+    ``convnext_moe.py:660-727,824-899``).
+
+    Conventions: torch convs are (O, I, kh, kw) -> flax (kh, kw, I, O);
+    linear (O, I) -> (I, O); depthwise (C, 1, kh, kw) -> (kh, kw, 1, C).
+    """
+    import copy
+    out = copy.deepcopy(params)
+    bb = out["backbone"] if "backbone" in out else out
+
+    def tconv(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    def tdw(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    def get(key):
+        return sd.get(prefix + key, sd.get(key))
+
+    # stem
+    w = get("downsample_layers.0.0.weight")
+    if w is not None:
+        stem_name = "stem_single" if "stem_single" in bb else "stem_conv"
+        bb[stem_name]["kernel"] = tconv(w)
+        bb[stem_name]["bias"] = get("downsample_layers.0.0.bias")
+        bb["stem_norm"]["scale"] = get("downsample_layers.0.1.weight")
+        bb["stem_norm"]["bias"] = get("downsample_layers.0.1.bias")
+
+    # downsample layers 1..3
+    for i in range(1, 4):
+        wn = get(f"downsample_layers.{i}.0.weight")
+        if wn is None:
+            continue
+        bb[f"downsample_norm{i}"]["scale"] = wn
+        bb[f"downsample_norm{i}"]["bias"] = get(
+            f"downsample_layers.{i}.0.bias")
+        bb[f"downsample_conv{i}"]["kernel"] = tconv(
+            get(f"downsample_layers.{i}.1.weight"))
+        bb[f"downsample_conv{i}"]["bias"] = get(
+            f"downsample_layers.{i}.1.bias")
+
+    # stages
+    for key in list(bb.keys()):
+        m = re.fullmatch(r"stage(\d+)_block(\d+)", key)
+        if not m:
+            continue
+        si, bi = int(m.group(1)), int(m.group(2))
+        tp = f"stages.{si}.{bi}."
+        blk = bb[key]
+        if get(tp + "depthwise_conv.weight") is None:
+            continue
+        blk["dwconv"]["kernel"] = tdw(get(tp + "depthwise_conv.weight"))
+        blk["dwconv"]["bias"] = get(tp + "depthwise_conv.bias")
+        blk["norm"]["scale"] = get(tp + "norm.weight")
+        blk["norm"]["bias"] = get(tp + "norm.bias")
+        if "gamma" in blk and get(tp + "gamma") is not None:
+            blk["gamma"] = get(tp + "gamma")
+        w1 = get(tp + "ffn.pointwise_conv1.weight")
+        b1 = get(tp + "ffn.pointwise_conv1.bias")
+        w2 = get(tp + "ffn.pointwise_conv2.weight")
+        b2 = get(tp + "ffn.pointwise_conv2.bias")
+        if w1 is None:
+            continue
+        if "ffn" in blk and "experts" in blk["ffn"]:
+            # expert fan-out: replicate the dense FFN into every expert
+            e = blk["ffn"]["experts"]["w1"].shape[0]
+            blk["ffn"]["experts"]["w1"] = np.repeat(
+                w1.T[None], e, axis=0)          # (E, d, h)
+            blk["ffn"]["experts"]["b1"] = np.repeat(b1[None], e, axis=0)
+            blk["ffn"]["experts"]["w2"] = np.repeat(
+                w2.T[None], e, axis=0)
+            blk["ffn"]["experts"]["b2"] = np.repeat(b2[None], e, axis=0)
+        else:
+            blk["pwconv1"]["kernel"] = w1.T
+            blk["pwconv1"]["bias"] = b1
+            blk["pwconv2"]["kernel"] = w2.T
+            blk["pwconv2"]["bias"] = b2
+
+    # out norms
+    for i in range(4):
+        wn = get(f"norm{i}.weight")
+        if wn is not None and f"out_norm{i}" in bb:
+            bb[f"out_norm{i}"]["scale"] = wn
+            bb[f"out_norm{i}"]["bias"] = get(f"norm{i}.bias")
+    return out

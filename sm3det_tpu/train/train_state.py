@@ -25,11 +25,17 @@ class TrainState(NamedTuple):
 def init_trisource(rng, model: TriSourceDetector, sample_batch,
                    source_ratio=(2, 1, 1)):
     p_rng, d_rng, n_rng, s_rng = jax.random.split(rng, 4)
-    variables = model.init(
-        {"params": p_rng, "dropout": d_rng, "moe_noise": n_rng,
-         "sampling": s_rng},
-        sample_batch, source_ratio=source_ratio, train=True)
-    return variables["params"]
+
+    # jit the whole init: eager per-op dispatch is pathological on the
+    # TPU tunnel (each op compiles separately)
+    @jax.jit
+    def _init(batch):
+        return model.init(
+            {"params": p_rng, "dropout": d_rng, "moe_noise": n_rng,
+             "sampling": s_rng},
+            batch, source_ratio=source_ratio, train=True)
+
+    return _init(sample_batch)["params"]
 
 
 def build_train_step(model: TriSourceDetector, init_fn, update_fn,

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Training CLI (parity with ``tools/train.py``: config, --work-dir,
+--resume-from, --auto-resume, --cfg-options, --seed, --max-iters)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+if os.environ.get("SM3DET_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a detector")
+    p.add_argument("config")
+    p.add_argument("--work-dir")
+    p.add_argument("--resume-from")
+    p.add_argument("--auto-resume", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max-iters", type=int, default=None,
+                   help="override max_iters (smoke runs)")
+    p.add_argument("--synthetic-data", action="store_true",
+                   help="force synthetic fixtures instead of real data")
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def build_datasets(cfg, synthetic: bool):
+    from sm3det_tpu.data.datasets import (CocoDetDataset, DOTADataset,
+                                          SyntheticDetDataset)
+    out = []
+    for i, key in enumerate(("sar", "rgb", "ifr")):
+        dcfg = cfg.data[key].to_dict()
+        dcfg.pop("max_gt", None)
+        dtype = dcfg.pop("type")
+        paths_exist = all(os.path.exists(v) for k, v in dcfg.items()
+                          if isinstance(v, str) and ("/" in v))
+        if synthetic or not paths_exist:
+            ds = SyntheticDetDataset(
+                n=64, img_size=cfg.img_size,
+                num_classes=cfg.num_classes,
+                box_type="hbb" if key == "sar" else "obb", seed=i)
+        elif dtype == "CocoDetDataset":
+            ds = CocoDetDataset(**dcfg)
+        else:
+            ds = DOTADataset(**dcfg, version=cfg.angle_version)
+        out.append(ds)
+    return out
+
+
+def main():
+    args = parse_args()
+    from sm3det_tpu.utils.config import Config
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(Config.parse_cli_options(args.cfg_options))
+    work_dir = args.work_dir or cfg.get("work_dir", "./work_dirs/run")
+    os.makedirs(work_dir, exist_ok=True)
+    cfg.dump(os.path.join(work_dir, "config.py"))
+
+    import jax
+    import numpy as np
+    from sm3det_tpu.data.loader import PipelineCfg, TriSourceLoader
+    from sm3det_tpu.models.detectors.trisource import TriSourceDetector
+    from sm3det_tpu.train.checkpoint import (find_latest_checkpoint,
+                                             load_checkpoint,
+                                             convnext_torch_to_jax,
+                                             load_torch_state_dict)
+    from sm3det_tpu.train.dla import make_dla_config
+    from sm3det_tpu.train.loop import run_training
+    from sm3det_tpu.train.optim import make_optimizer
+    from sm3det_tpu.train.train_state import (TrainState, build_train_step,
+                                              init_trisource)
+
+    seed = args.seed if args.seed is not None else cfg.get("seed", 0)
+    model_cfg = cfg.model.to_dict()
+    model_cfg.pop("type", None)
+    pretrained = model_cfg["backbone"].pop("pretrained", None)
+    model_cfg["backbone"]["moe_block_inds"] = tuple(
+        tuple(x) for x in model_cfg["backbone"]["moe_block_inds"])
+    model = TriSourceDetector(cfg=model_cfg)
+
+    datasets = build_datasets(cfg, args.synthetic_data)
+    ratio = list(cfg.source_ratio)
+    pipes = [PipelineCfg(img_size=cfg.img_size,
+                         max_gt=cfg.data[k].get("max_gt", 256),
+                         version=cfg.angle_version)
+             for k in ("sar", "rgb", "ifr")]
+    loader = TriSourceLoader(datasets, ratio, pipes, seed=seed)
+    data_iter = iter(loader)
+
+    sample_batch = next(data_iter)
+    params = init_trisource(
+        jax.random.PRNGKey(seed), model, sample_batch,
+        source_ratio=tuple(ratio))
+
+    if pretrained and os.path.exists(pretrained):
+        sd = load_torch_state_dict(pretrained)
+        params = convnext_torch_to_jax(
+            sd, params, num_experts=model_cfg["backbone"]["num_experts"])
+        print(f"loaded pretrained backbone from {pretrained}")
+
+    lr_cfg = cfg.lr_config
+    extra = lr_cfg.extra_args
+    dla_cfg = make_dla_config(
+        T=extra.get("T", 3.0), b=extra.get("b", 0.4),
+        ema_beta=extra.get("ema", 0.001),
+        backbone_policy=extra.get("backbone_policy", "sigmoid_kl"),
+        head_policy=extra.get("head_policy", "normal"),
+        warmup_iters=lr_cfg.get("warmup_iters", 500)) \
+        if lr_cfg.get("policy") == "dynamic" else None
+    init_fn, update_fn, _ = make_optimizer(
+        base_lr=cfg.optimizer.lr,
+        weight_decay=cfg.optimizer.get("weight_decay", 0.0),
+        betas=tuple(cfg.optimizer.get("betas", (0.9, 0.999))),
+        grad_clip=cfg.optimizer.get("grad_clip"),
+        step_iters=tuple(lr_cfg.get("step", [])),
+        warmup_iters=lr_cfg.get("warmup_iters", 500),
+        warmup_ratio=lr_cfg.get("warmup_ratio", 1.0 / 3),
+        dla_cfg=dla_cfg)
+
+    state = TrainState(params=params, opt=init_fn(params),
+                       rng=jax.random.PRNGKey(seed + 1))
+    start_iter = 0
+    resume = args.resume_from or (
+        find_latest_checkpoint(work_dir) if args.auto_resume else None)
+    if resume:
+        state = load_checkpoint(resume, state)
+        start_iter = int(state.opt.step)
+        print(f"resumed from {resume} at iter {start_iter}")
+
+    step = build_train_step(model, init_fn, update_fn,
+                            source_ratio=tuple(ratio))
+    jstep = jax.jit(step, donate_argnums=(0,))
+
+    max_iters = args.max_iters or cfg.get("max_iters", 1000)
+    run_training(
+        jstep, state, data_iter, max_iters, work_dir,
+        log_interval=cfg.get("log_interval", 50),
+        checkpoint_interval=cfg.get("checkpoint_interval"),
+        start_iter=start_iter)
+
+
+if __name__ == "__main__":
+    main()
