@@ -85,6 +85,53 @@ def make_rcnn_coder(version="le90"):
         edge_swap=True, proj_xy=True)
 
 
+def build_multi_input_backbone(b: Dict[str, Any], name: str = "backbone"):
+    """Backbone factory shared by all TriSource variants: ConvNeXt-MoE,
+    LSKNet-MoE or VAN-MoE in MultiInput mode."""
+    btype = b.get("type", "ConvNeXt")
+    common = dict(
+        drop_path_rate=b.get("drop_path_rate", 0.0),
+        num_experts=b.get("num_experts", 2),
+        top_k=b.get("top_k", 2),
+        gate=b.get("gate", "cosine"),
+        noisy_gating=b.get("noisy_gating", True),
+        capacity_factor=b.get("capacity_factor", 1.5),
+        multi_input=True,
+        name=name)
+    if btype in ("ConvNeXt", "ConvNeXt_moe_MultiInput"):
+        return ConvNeXtMoE(
+            arch=b.get("arch", "tiny"),
+            moe_block_inds=tuple(tuple(i) for i in
+                                 b.get("moe_block_inds",
+                                       ((), (), (), ()))),
+            **common)
+    if btype in ("LSKNet", "LSKNet_moe_MultiInput"):
+        from ..backbones.lsknet import LSKNetMoE
+        return LSKNetMoE(
+            embed_dims=tuple(b.get("embed_dims", (32, 64, 160, 256))),
+            depths=tuple(b.get("depths", (3, 3, 5, 2))),
+            moe_block_inds_fc1=tuple(
+                tuple(i) for i in b.get("moe_block_inds_fc1",
+                                        ((), (), (), ()))),
+            moe_block_inds_fc2=tuple(
+                tuple(i) for i in b.get("moe_block_inds_fc2",
+                                        ((), (), (), ()))),
+            **common)
+    if btype in ("VAN", "VAN_moe_MultiInput"):
+        from ..backbones.van import VANMoE
+        return VANMoE(
+            embed_dims=tuple(b.get("embed_dims", (32, 64, 160, 256))),
+            depths=tuple(b.get("depths", (3, 3, 5, 2))),
+            moe_block_inds_fc1=tuple(
+                tuple(i) for i in b.get("moe_block_inds_fc1",
+                                        ((), (), (), ()))),
+            moe_block_inds_fc2=tuple(
+                tuple(i) for i in b.get("moe_block_inds_fc2",
+                                        ((), (), (), ()))),
+            **common)
+    raise ValueError(f"unknown backbone type {btype!r}")
+
+
 class TriSourceDetector(nn.Module):
     """Flagship SM3Det model. ``cfg`` follows DEFAULT_MODEL_CFG."""
 
@@ -92,20 +139,7 @@ class TriSourceDetector(nn.Module):
 
     def setup(self):
         c = self.cfg
-        b = c["backbone"]
-        self.backbone = ConvNeXtMoE(
-            arch=b.get("arch", "tiny"),
-            drop_path_rate=b.get("drop_path_rate", 0.0),
-            moe_block_inds=tuple(tuple(i) for i in
-                                 b.get("moe_block_inds",
-                                       ((), (), (), ()))),
-            num_experts=b.get("num_experts", 2),
-            top_k=b.get("top_k", 2),
-            gate=b.get("gate", "cosine"),
-            noisy_gating=b.get("noisy_gating", True),
-            capacity_factor=b.get("capacity_factor", 1.5),
-            multi_input=True,
-            name="backbone")
+        self.backbone = build_multi_input_backbone(c["backbone"])
         n = c["neck"]
         self.neck = MultitaskFPN(
             in_channels=tuple(n["in_channels"]),

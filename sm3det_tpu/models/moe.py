@@ -123,11 +123,32 @@ class ExpertFFN(nn.Module):
         return y
 
 
+class ExpertLinear(nn.Module):
+    """Per-expert single projection (the 1x1-conv experts of the LSK/VAN
+    MoE variants, ``lsk_moe.py:92``), stacked for one batched einsum."""
+
+    num_experts: int
+    dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (E, cap, d) -> (E, cap, out)."""
+        e, d, o = self.num_experts, self.dim, self.out_dim
+        w = self.param("w", nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal"), (e, d, o))
+        b = self.param("b", nn.initializers.zeros, (e, o))
+        return jnp.einsum("ecd,edo->eco", x, w,
+                          preferred_element_type=jnp.float32) + b[:, None]
+
+
 class MoELayer(nn.Module):
     """Grid-level sparse MoE over flattened spatial tokens.
 
     Returns ``(y, aux_loss)`` like ``MoE_layer.forward``
-    (``convnext_moe.py:226-248``).
+    (``convnext_moe.py:226-248``). ``expert_kind='ffn'`` uses two-layer
+    FFN experts (ConvNeXt/Swin); ``'linear'`` uses single-projection
+    experts with ``out_dim`` output channels (LSKNet/VAN fc1/fc2 MoE).
     """
 
     dim: int
@@ -139,6 +160,8 @@ class MoELayer(nn.Module):
     capacity_factor: float = 1.5
     loss_coef: float = 1e-2
     use_grn: bool = False
+    expert_kind: str = "ffn"           # 'ffn' | 'linear'
+    out_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -203,11 +226,16 @@ class MoELayer(nn.Module):
             jnp.where(keep[:, None], src, 0.0))
         buf = buf.reshape(e, capacity, d)
 
-        out_buf = ExpertFFN(e, d, self.hidden, use_grn=self.use_grn,
-                            name="experts")(buf)
-        out_buf = out_buf.reshape(e * capacity, d)
+        if self.expert_kind == "linear":
+            out_d = self.out_dim or d
+            out_buf = ExpertLinear(e, d, out_d, name="experts")(buf)
+        else:
+            out_d = d
+            out_buf = ExpertFFN(e, d, self.hidden, use_grn=self.use_grn,
+                                name="experts")(buf)
+        out_buf = out_buf.reshape(e * capacity, out_d)
 
-        gathered = out_buf[slot]                                  # (N*k, d)
+        gathered = out_buf[slot]                                  # (N*k, o)
         weighted = gathered * (flat_gate * keep)[:, None]
-        y = jnp.zeros((n, d), out_buf.dtype).at[token_of].add(weighted)
+        y = jnp.zeros((n, out_d), out_buf.dtype).at[token_of].add(weighted)
         return y.astype(x.dtype), aux

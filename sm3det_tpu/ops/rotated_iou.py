@@ -50,15 +50,101 @@ def _cross(o, a, b):
             - (a[..., 1] - o[..., 1]) * (b[..., 0] - o[..., 0]))
 
 
-def rotated_intersection_area(corners1, corners2):
-    """Intersection area of two convex quads, batched.
+def _edge_clip_contrib(sub, clip, eps_inside, sub_sign=None,
+                       clip_sign=None):
+    """Green's-theorem contribution of ``sub``'s edges clipped to the
+    inside of convex quad ``clip``.
 
-    Args:
-        corners1, corners2: ``(..., 4, 2)`` with matching batch dims.
+    For each edge P(t) = p + t(q-p), the inside-``clip`` portion is one
+    interval [t_lo, t_hi] (convexity); its boundary contribution is
+    0.5 * cross(P(t_lo), P(t_hi)). Order-independent, sort-free.
 
-    Returns:
-        ``(...)`` intersection areas.
+    sub, clip: (..., 4, 2) consistently wound (obb_corners order).
+    eps_inside: shift of the half-plane inside test in pixels — used to
+        break the tie when an edge lies exactly ON the other quad's
+        boundary (identical boxes) so it is counted once, not twice.
     """
+    p = sub                                   # (..., 4, 2) edge starts
+    q = jnp.roll(sub, -1, axis=-2)            # edge ends
+    d = q - p                                 # (..., 4, 2)
+
+    o = clip                                  # (..., 4, 2) clip edge starts
+    e = jnp.roll(clip, -1, axis=-2) - o       # clip edge dirs
+    e_len = jnp.maximum(jnp.linalg.norm(e, axis=-1), _EPS)
+
+    # signed distance (in px) of a point x to clip edge k:
+    #   cross(e_k, x - o_k) / |e_k|  (positive inside for CCW winding)
+    # dist(P(t)) = a + t*b  with:
+    po = p[..., :, None, :] - o[..., None, :, :]       # (..., 4s, 4c, 2)
+    ek = e[..., None, :, :]
+    a = (ek[..., 0] * po[..., 1] - ek[..., 1] * po[..., 0]) \
+        / e_len[..., None, :]                          # (..., 4s, 4c)
+    dk = d[..., :, None, :]
+    b = (ek[..., 0] * dk[..., 1] - ek[..., 1] * dk[..., 0]) \
+        / e_len[..., None, :]
+
+    if clip_sign is not None:
+        # CW clip polygons flip the inside half-plane
+        cs = clip_sign[..., None, None]
+        a = a * cs
+        b = b * cs
+    a = a + eps_inside
+    # inside(t) := a + t*b >= 0. Entering at t=-a/b if b>0, exiting if b<0.
+    safe_b = jnp.where(jnp.abs(b) < _EPS, _EPS, b)
+    t_cross = -a / safe_b
+    t_lo_k = jnp.where(b > _EPS, t_cross, 0.0)
+    t_lo_k = jnp.where((jnp.abs(b) <= _EPS) & (a < 0), 1.0, t_lo_k)
+    t_hi_k = jnp.where(b < -_EPS, t_cross, 1.0)
+    t_hi_k = jnp.where((jnp.abs(b) <= _EPS) & (a < 0), 0.0, t_hi_k)
+
+    t_lo = jnp.clip(jnp.max(t_lo_k, axis=-1), 0.0, 1.0)   # (..., 4s)
+    t_hi = jnp.clip(jnp.min(t_hi_k, axis=-1), 0.0, 1.0)
+    valid = t_hi > t_lo
+
+    p0 = p + t_lo[..., None] * d
+    p1 = p + t_hi[..., None] * d
+    contrib = 0.5 * (p0[..., 0] * p1[..., 1] - p0[..., 1] * p1[..., 0])
+    total = jnp.sum(jnp.where(valid, contrib, 0.0), axis=-1)
+    if sub_sign is not None:
+        # CW subject polygons contribute with flipped orientation
+        total = total * sub_sign
+    return total
+
+
+def _signed_area(c):
+    n = jnp.roll(c, -1, axis=-2)
+    return 0.5 * jnp.sum(
+        c[..., 0] * n[..., 1] - c[..., 1] * n[..., 0], axis=-1)
+
+
+def rotated_intersection_area(corners1, corners2):
+    """Intersection area of two convex quads, batched — sort-free.
+
+    The boundary of A∩B is exactly (∂A inside B) ∪ (∂B inside A); each
+    straight piece contributes 0.5*cross(start, end) to the shoelace sum
+    independent of ordering. ~100 flops/pair on the VPU vs. the classic
+    24-candidate angular sort (the reference CUDA algorithm,
+    ``box_iou_rotated_utils.hpp``) which is sort-bound under XLA.
+
+    corners1, corners2: (..., 4, 2) with matching batch dims.
+    """
+    c1 = corners1.astype(jnp.float32)
+    c2 = corners2.astype(jnp.float32)
+    # winding handled by sign multipliers (reversing vertex order with
+    # ::-1 trips a libtpu fusion-emitter bug); obb_corners output is
+    # always CCW so these are +1 in the hot path and fold away
+    s1 = jnp.sign(_signed_area(c1)) + (jnp.abs(_signed_area(c1)) < _EPS)
+    s2 = jnp.sign(_signed_area(c2)) + (jnp.abs(_signed_area(c2)) < _EPS)
+    # A-edges counted on/inside B; B-edges strictly inside A (tie-break so
+    # coincident boundaries are counted exactly once)
+    area = _edge_clip_contrib(c1, c2, 1e-4, sub_sign=s1, clip_sign=s2) + \
+        _edge_clip_contrib(c2, c1, -1e-4, sub_sign=s2, clip_sign=s1)
+    return jnp.maximum(area, 0.0)
+
+
+def rotated_intersection_area_sorted(corners1, corners2):
+    """Reference implementation: 24-candidate angular sort + shoelace
+    (kept as the oracle for tests)."""
     c1 = corners1.astype(jnp.float32)
     c2 = corners2.astype(jnp.float32)
 
