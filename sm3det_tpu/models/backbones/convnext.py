@@ -37,9 +37,38 @@ ARCH_SETTINGS = {
 }
 
 
+class DALayer(nn.Module):
+    """Domain-Attention: SE-style channel attention with one FC branch per
+    dataset {sar:0, rgb:1, ifr:2} (``convnext_moe_DA.py:295-319``).
+    Branch selection is a static one-hot mix over per-sample dataset ids."""
+
+    dim: int
+    reduction: int = 16
+    num_datasets: int = 3
+
+    @nn.compact
+    def __call__(self, x, dataset_ids):
+        """x: (B, H, W, C); dataset_ids: (B,) int32."""
+        b = x.shape[0]
+        y = jnp.mean(x, axis=(1, 2))                       # (B, C)
+        scales = []
+        for d in range(self.num_datasets):
+            h = nn.Dense(self.dim // self.reduction, use_bias=False,
+                         name=f"fc{d}_0")(y)
+            h = nn.relu(h)
+            h = nn.Dense(self.dim, use_bias=False, name=f"fc{d}_1")(h)
+            scales.append(nn.sigmoid(h))
+        scales = jnp.stack(scales, axis=1)                 # (B, D, C)
+        onehot = jax.nn.one_hot(dataset_ids, self.num_datasets,
+                                dtype=x.dtype)             # (B, D)
+        scale = jnp.einsum("bdc,bd->bc", scales, onehot)
+        return x * scale[:, None, None, :]
+
+
 class ConvNeXtBlock(nn.Module):
     """One ConvNeXt block; ``moe`` config swaps the FFN for a grid MoE
-    (``convnext_moe.py:295-380``)."""
+    (``convnext_moe.py:295-380``); ``use_da`` adds Domain Attention after
+    the FFN (the DA baseline, ``convnext_moe_DA.py:369``)."""
 
     dim: int
     drop_path_rate: float = 0.0
@@ -47,9 +76,10 @@ class ConvNeXtBlock(nn.Module):
     layer_scale_init_value: float = 1e-6
     use_grn: bool = False
     moe: Optional[Dict[str, Any]] = None
+    use_da: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dataset_ids=None):
         shortcut = x
         aux = None
         x = nn.Conv(self.dim, (7, 7), padding=3,
@@ -76,6 +106,8 @@ class ConvNeXtBlock(nn.Module):
             if self.use_grn:
                 x = GRN(hidden, name="grn")(x)
             x = nn.Dense(self.dim, name="pwconv2")(x)
+        if self.use_da and dataset_ids is not None:
+            x = DALayer(self.dim, name="da")(x, dataset_ids)
         if self.layer_scale_init_value > 0 and not self.use_grn:
             gamma = self.param(
                 "gamma",
@@ -106,12 +138,14 @@ class ConvNeXtMoE(nn.Module):
     capacity_factor: float = 1.5
     multi_input: bool = False
     datasets: Sequence[str] = ("single",)
+    use_da: bool = False
+    da_block_inds: Sequence[Sequence[int]] = ((), (), (), ())
 
     def _arch(self):
         return ARCH_SETTINGS[self.arch]
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dataset_ids=None):
         depths = self._arch()["depths"]
         channels = self._arch()["channels"]
         total = sum(depths)
@@ -141,6 +175,8 @@ class ConvNeXtMoE(nn.Module):
                 x = nn.Conv(dim, (2, 2), strides=2, padding="VALID",
                             name=f"downsample_conv{i}")(x)
             moe_inds = [q for q in self.moe_block_inds[i] if q < depth]
+            da_inds = [q for q in self.da_block_inds[i] if q < depth] \
+                if self.use_da else []
             for j in range(depth):
                 moe_cfg = None
                 if j in moe_inds:
@@ -157,7 +193,9 @@ class ConvNeXtMoE(nn.Module):
                     layer_scale_init_value=self.layer_scale_init_value,
                     use_grn=self.use_grn,
                     moe=moe_cfg,
-                    name=f"stage{i}_block{j}")(x, train=train)
+                    use_da=self.use_da and j in da_inds,
+                    name=f"stage{i}_block{j}")(
+                        x, train=train, dataset_ids=dataset_ids)
                 if aux is not None:
                     gate_losses.append(aux)
             block_idx += depth

@@ -132,8 +132,22 @@ def build_multi_input_backbone(b: Dict[str, Any], name: str = "backbone"):
     raise ValueError(f"unknown backbone type {btype!r}")
 
 
+REWEIGHT_LOSS_KEYS = (
+    "sar_loss_cls", "sar_loss_bbox", "sar_loss_dfl",
+    "rgb_loss_rpn_cls", "rgb_loss_rpn_bbox", "rgb_loss_cls",
+    "rgb_loss_bbox", "ifr_loss_rpn_cls", "ifr_loss_rpn_bbox",
+    "ifr_loss_cls", "ifr_loss_bbox")
+
+
 class TriSourceDetector(nn.Module):
-    """Flagship SM3Det model. ``cfg`` follows DEFAULT_MODEL_CFG."""
+    """Flagship SM3Det model. ``cfg`` follows DEFAULT_MODEL_CFG.
+
+    ``cfg['multi_tasks_reweight']`` in {None, 'uncertainty'}: the
+    uncertainty variant learns per-loss sigmas and returns
+    ``reweighted_total_losses`` = sum(0.5/sigma_i^2 * L_i + log(1+sigma^2))
+    (``trisource_...:349-353``); individual losses are still reported
+    (stop-gradient) for logging/DLA.
+    """
 
     cfg: Dict[str, Any]
 
@@ -255,6 +269,17 @@ class TriSourceDetector(nn.Module):
             total = jnp.maximum(jnp.sum(n_valid).astype(jnp.float32), 1.0)
             losses[f"{key}_loss_cls"] = jnp.sum(l_cls) / total
             losses[f"{key}_loss_bbox"] = jnp.sum(l_reg) / total
+
+        if c.get("multi_tasks_reweight") == "uncertainty":
+            sigma = self.param("mtl_sigma", nn.initializers.ones,
+                               (len(REWEIGHT_LOSS_KEYS),))
+            total = jnp.zeros(())
+            for i, k in enumerate(REWEIGHT_LOSS_KEYS):
+                li = losses.pop(k)
+                total = total + 0.5 / (sigma[i] ** 2) * li + \
+                    jnp.log1p(sigma[i] ** 2)
+                losses[k] = jax.lax.stop_gradient(li)   # logging only
+            losses["reweighted_total_losses"] = total
         return losses
 
     # ---- testing ------------------------------------------------------

@@ -229,6 +229,52 @@ def gwd_loss(pred, target, fun="log1p", tau=1.0, alpha=1.0,
     return _reduce(loss, weight, avg_factor)
 
 
+def kfiou_loss(pred, target, pred_decode, targets_decode,
+               fun=None, beta=1.0 / 9.0, eps=1e-6,
+               weight=None, avg_factor=None):
+    """Kalman-filter IoU loss (``kf_iou_loss.py:89``): SmoothL1 on centers
+    + (1 - KFIoU) where KFIoU uses the Kalman-update covariance
+    Sigma = Sp - Sp(Sp+St)^-1 Sp and Vb = 4*sqrt(det)."""
+    xy_p = pred[..., :2]
+    xy_t = target[..., :2]
+    _, sig_p = obb2gaussian(pred_decode)
+    _, sig_t = obb2gaussian(targets_decode)
+    diff = jnp.abs(xy_p - xy_t)
+    xy_loss = jnp.sum(
+        jnp.where(diff < beta, 0.5 * diff * diff / beta,
+                  diff - 0.5 * beta), axis=-1)
+    vb_p = 4 * jnp.sqrt(jnp.clip(jnp.linalg.det(sig_p), 0))
+    vb_t = 4 * jnp.sqrt(jnp.clip(jnp.linalg.det(sig_t), 0))
+    k = sig_p @ jnp.linalg.inv(sig_p + sig_t)
+    sigma = sig_p - k @ sig_p
+    vb = 4 * jnp.sqrt(jnp.clip(jnp.linalg.det(sigma), 0))
+    vb = jnp.nan_to_num(vb)
+    kfiou = vb / jnp.maximum(vb_p + vb_t - vb, eps)
+    if fun == "ln":
+        kf = -jnp.log(kfiou + eps)
+    elif fun == "exp":
+        kf = jnp.exp(1 - kfiou) - 1
+    else:
+        kf = 1 - kfiou
+    loss = jnp.clip(xy_loss + kf, 0)
+    return _reduce(loss, weight, avg_factor)
+
+
+def smooth_focal_loss(logits, labels, gamma=2.0, alpha=0.25,
+                      smoothing=0.1, weight=None, avg_factor=None):
+    """Focal loss with label smoothing (``smooth_focal_loss.py``)."""
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    onehot = onehot * (1 - smoothing) + smoothing / num_classes
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * onehot + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    pt = p * onehot + (1 - p) * (1 - onehot)
+    alpha_t = alpha * onehot + (1 - alpha) * (1 - onehot)
+    loss = (alpha_t * ((1 - pt) ** gamma) * ce).sum(-1)
+    return _reduce(loss, weight, avg_factor)
+
+
 def kld_loss(pred, target, fun="log1p", tau=1.0,
              weight=None, avg_factor=None):
     """Kullback-Leibler divergence loss between box Gaussians."""

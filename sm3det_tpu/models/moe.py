@@ -192,6 +192,9 @@ class MoELayer(nn.Module):
         top_k_logits = top_logits[:, :k]
         top_k_idx = top_idx[:, :k]                           # (N, k)
         top_k_gates = jax.nn.softmax(top_k_logits, axis=-1)  # (N, k)
+        # expert-routing visualization hook (tools/view.py): captured when
+        # apply() is called with mutable=['intermediates']
+        self.sow("intermediates", "expert_ids", top_k_idx)
 
         # dense gates matrix only for the aux loss (cheap: N x E)
         gates = jnp.zeros((n, e), logits.dtype)

@@ -185,12 +185,51 @@ def rbbox_flip(obbs, img_shape, direction: str = "horizontal",
     return jnp.stack([x, y, w, h, a], axis=-1)
 
 
-# --- numpy host-side variants (annotation loading / eval) -------------------
+# --- numpy host-side variants (annotation loading / eval / tools) -----------
+# Pure numpy so host tools never touch the accelerator.
+
+def _norm_angle_np(angle, version):
+    if version == "oc":
+        return angle
+    if version == "le135":
+        return (angle + PI / 4) % PI - PI / 4
+    return (angle + PI / 2) % PI - PI / 2
+
 
 def poly2obb_np(polys: np.ndarray, version: str = "le90") -> np.ndarray:
     """Host-side poly->obb for annotation loading; accepts (..., 8)."""
-    return np.asarray(poly2obb(jnp.asarray(polys, jnp.float32), version))
+    polys = np.asarray(polys, np.float32)
+    pts = polys.reshape(polys.shape[:-1] + (4, 2))
+    pt1, pt2, pt3, pt4 = (pts[..., i, :] for i in range(4))
+    if version == "oc":
+        ctr = pts.mean(-2)
+        _w = np.linalg.norm(pt1 - pt2, axis=-1)
+        _h = np.linalg.norm(pt2 - pt3, axis=-1)
+        _theta = np.arctan2(-(pt2[..., 0] - pt1[..., 0]),
+                            pt2[..., 1] - pt1[..., 1])
+        odd = np.equal(np.floor(_theta / (PI * 0.5)) % 2, 0)
+        w = np.where(odd, _h, _w)
+        h = np.where(odd, _w, _h)
+        theta = _theta % (PI * 0.5)
+        return np.stack([ctr[..., 0], ctr[..., 1], w, h, theta],
+                        -1).astype(np.float32)
+    edge1 = np.linalg.norm(pt1 - pt2, axis=-1)
+    edge2 = np.linalg.norm(pt2 - pt3, axis=-1)
+    a1 = np.arctan2(pt2[..., 1] - pt1[..., 1], pt2[..., 0] - pt1[..., 0])
+    a2 = np.arctan2(pt4[..., 1] - pt1[..., 1], pt4[..., 0] - pt1[..., 0])
+    angle = _norm_angle_np(np.where(edge1 > edge2, a1, a2), version)
+    ctr = (pt1 + pt3) / 2.0
+    return np.stack([ctr[..., 0], ctr[..., 1],
+                     np.maximum(edge1, edge2), np.minimum(edge1, edge2),
+                     angle], -1).astype(np.float32)
 
 
 def obb2poly_np(obbs: np.ndarray, version: str = "le90") -> np.ndarray:
-    return np.asarray(obb2poly(jnp.asarray(obbs, jnp.float32), version))
+    obbs = np.asarray(obbs, np.float32)
+    x, y, w, h, a = (obbs[..., i] for i in range(5))
+    cosa, sina = np.cos(a), np.sin(a)
+    wx, wy = w / 2 * cosa, w / 2 * sina
+    hx, hy = -h / 2 * sina, h / 2 * cosa
+    return np.stack([x - wx - hx, y - wy - hy, x + wx - hx, y + wy - hy,
+                     x + wx + hx, y + wy + hy, x - wx + hx, y - wy + hy],
+                    -1).astype(np.float32)

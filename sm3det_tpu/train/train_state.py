@@ -53,9 +53,19 @@ def build_train_step(model: TriSourceDetector, init_fn, update_fn,
             {"params": params}, batch, source_ratio=source_ratio,
             train=True, rngs=rngs)
         total = jnp.zeros(())
-        for k, v in losses.items():
-            w = 1.0 if loss_weights is None else loss_weights.get(k, 1.0)
-            total = total + w * v
+        if "reweighted_total_losses" in losses:
+            # uncertainty/dwa mode: the reweighted sum replaces the
+            # individual task losses (kept as stop-grad metrics)
+            from ..models.detectors.trisource import REWEIGHT_LOSS_KEYS
+            for k, v in losses.items():
+                if k in REWEIGHT_LOSS_KEYS:
+                    continue
+                total = total + v
+        else:
+            for k, v in losses.items():
+                w = 1.0 if loss_weights is None \
+                    else loss_weights.get(k, 1.0)
+                total = total + w * v
         return total, losses
 
     def train_step(state: TrainState, batch):
