@@ -24,6 +24,12 @@ def _pairwise_iou(dets: np.ndarray, gts: np.ndarray,
                   box_dim: int) -> np.ndarray:
     if len(dets) == 0 or len(gts) == 0:
         return np.zeros((len(dets), len(gts)), np.float32)
+    if box_dim == 5:
+        # native C++ fast path (tools/build_native.sh); jnp fallback
+        from ...native import box_iou_rotated_native
+        out = box_iou_rotated_native(dets[:, :5], gts)
+        if out is not None:
+            return out
     with jax.default_device(jax.devices("cpu")[0]):
         if box_dim == 5:
             return np.asarray(box_iou_rotated(

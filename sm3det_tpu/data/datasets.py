@@ -185,6 +185,64 @@ class CocoDetDataset(BaseDetDataset):
                     labels=info["labels"].copy(), img_id=info["img_id"])
 
 
+HRSC_CLASSES = ("ship",)
+
+
+class HRSCDataset(BaseDetDataset):
+    """HRSC2016 XML annotations (``mmrotate/datasets/hrsc.py`` contract):
+    per-image XML with rotated boxes (cx, cy, w, h, ang)."""
+
+    box_type = "obb"
+
+    def __init__(self, ann_folder: str, img_folder: str,
+                 classes: Sequence[str] = HRSC_CLASSES,
+                 version: str = "le90"):
+        import xml.etree.ElementTree as ET
+        self.CLASSES = tuple(classes)
+        self.img_folder = img_folder
+        self.version = version
+        self.infos = []
+        for fname in sorted(os.listdir(ann_folder)):
+            if not fname.endswith(".xml"):
+                continue
+            tree = ET.parse(os.path.join(ann_folder, fname))
+            root = tree.getroot()
+            boxes, labels = [], []
+            for obj in root.iter("HRSC_Object"):
+                def g(tag):
+                    el = obj.find(tag)
+                    return float(el.text) if el is not None else 0.0
+                cx, cy = g("mbox_cx"), g("mbox_cy")
+                w, h = g("mbox_w"), g("mbox_h")
+                ang = g("mbox_ang")
+                boxes.append([cx, cy, w, h, ang])
+                labels.append(0)
+            obbs = np.asarray(boxes, np.float32).reshape(-1, 5)
+            if len(obbs):
+                # canonicalize angle into the target version
+                from ..ops.box_convert import obb2poly_np
+                obbs = poly2obb_np(obb2poly_np(obbs, "le90"),
+                                   self.version)
+            self.infos.append(dict(
+                img_id=fname[:-4], obbs=obbs,
+                labels=np.asarray(labels, np.int32)))
+
+    def __len__(self):
+        return len(self.infos)
+
+    def get_raw(self, idx: int) -> Dict:
+        info = self.infos[idx]
+        for ext in (".bmp", ".png", ".jpg"):
+            p = os.path.join(self.img_folder, info["img_id"] + ext)
+            if os.path.exists(p):
+                img = _imread(p)
+                break
+        else:
+            raise FileNotFoundError(info["img_id"])
+        return dict(img=img, obbs=info["obbs"].copy(),
+                    labels=info["labels"].copy(), img_id=info["img_id"])
+
+
 class SyntheticDetDataset(BaseDetDataset):
     """In-memory random dataset for tests/benchmarks (fake-data harness)."""
 

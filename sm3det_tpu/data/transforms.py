@@ -164,6 +164,61 @@ def _rotate_image(img: np.ndarray, theta: float) -> np.ndarray:
     return np.where(valid[..., None], out, 0.0)
 
 
+def random_crop(rng: np.random.RandomState, img, obbs, labels,
+                crop_size: Tuple[int, int], allow_negative: bool = False):
+    """RRandomCrop (``transforms.py:413``): random window; keep boxes whose
+    center is inside, translate; drop the sample if no box survives
+    (caller retries) unless allow_negative."""
+    h, w = img.shape[:2]
+    ch, cw = min(crop_size[0], h), min(crop_size[1], w)
+    y0 = rng.randint(0, h - ch + 1)
+    x0 = rng.randint(0, w - cw + 1)
+    out = img[y0:y0 + ch, x0:x0 + cw]
+    if obbs is None or not len(obbs):
+        return out, obbs, labels
+    obbs = obbs.copy()
+    obbs[:, 0] -= x0
+    obbs[:, 1] -= y0
+    keep = (obbs[:, 0] >= 0) & (obbs[:, 0] < cw) & \
+           (obbs[:, 1] >= 0) & (obbs[:, 1] < ch)
+    if not keep.any() and not allow_negative:
+        return None, None, None
+    return out, obbs[keep], labels[keep]
+
+
+def mosaic(rng: np.random.RandomState, samples, out_size: int,
+           center_ratio_range=(0.5, 1.5)):
+    """RMosaic (``transforms.py:521``): paste 4 samples around a random
+    center into a 2x-canvas, translate OBBs."""
+    canvas = np.zeros((2 * out_size, 2 * out_size, 3), np.float32)
+    cx = int(rng.uniform(*center_ratio_range) * out_size)
+    cy = int(rng.uniform(*center_ratio_range) * out_size)
+    all_obbs, all_labels = [], []
+    locs = [(0, 0, cx, cy), (cx, 0, 2 * out_size, cy),
+            (0, cy, cx, 2 * out_size), (cx, cy, 2 * out_size,
+                                        2 * out_size)]
+    for (x1, y1, x2, y2), s in zip(locs, samples):
+        img = s["img"].astype(np.float32)
+        tw, th = x2 - x1, y2 - y1
+        ih, iw = img.shape[:2]
+        pw, ph_ = min(iw, tw), min(ih, th)
+        canvas[y1:y1 + ph_, x1:x1 + pw] = img[:ph_, :pw]
+        obbs = s.get("obbs")
+        if obbs is not None and len(obbs):
+            ob = obbs.copy()
+            ob[:, 0] += x1
+            ob[:, 1] += y1
+            keep = (ob[:, 0] >= x1) & (ob[:, 0] < x1 + pw) & \
+                   (ob[:, 1] >= y1) & (ob[:, 1] < y1 + ph_)
+            all_obbs.append(ob[keep])
+            all_labels.append(s["labels"][keep])
+    obbs = np.concatenate(all_obbs) if all_obbs else \
+        np.zeros((0, 5), np.float32)
+    labels = np.concatenate(all_labels) if all_labels else \
+        np.zeros((0,), np.int32)
+    return canvas, obbs, labels
+
+
 def normalize(img, mean=(123.675, 116.28, 103.53),
               std=(58.395, 57.12, 57.375), to_rgb: bool = True):
     img = img.astype(np.float32)

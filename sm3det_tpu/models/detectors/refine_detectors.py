@@ -1,0 +1,187 @@
+"""Refinement-stage rotated detectors: R3Det and S2ANet.
+
+Parity targets (SURVEY.md §2.2 detectors):
+- ``R3Det`` (``mmrotate/models/detectors/r3det.py``): RotatedRetina first
+  stage -> per-location best refined anchor -> ``rotated_feature_align``
+  (our jnp op) -> refine head(s) regressing from refined anchors.
+- ``S2ANet`` (``s2anet.py``): FAM head (single anchor/cell) -> align
+  module -> ODM head. The reference's ORConv/``active_rotated_filter``
+  orientation channels are provided by :mod:`sm3det_tpu.ops.orientation`;
+  the align module here uses anchor-guided resampling via
+  ``rotated_feature_align`` (AlignConv's sampling contract).
+
+Both share the static-shape anchor/assign toolkit from the retina head.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...core.anchor import RotatedAnchorGenerator
+from ...core.bbox.coders import DeltaXYWHAOBBoxCoder
+from ...ops.geometry_extras import rotated_feature_align
+from ..dense_heads.rotated_retina_head import (RotatedRetinaHead,
+                                               retina_get_bboxes,
+                                               retina_loss)
+from ..necks.fpn import MultitaskFPN
+from .zoo import _build_backbone
+
+
+def _refine_anchors(anchors, deltas, coder):
+    """Decode per-location refined anchors from stage-1 regression."""
+    return coder.decode(anchors, deltas)
+
+
+class RefineHead(nn.Module):
+    """Refinement stage: align features to refined anchors, then conv
+    towers + cls/reg with ONE anchor per location (the refined one)."""
+
+    num_classes: int
+    feat_channels: int = 256
+    stacked_convs: int = 2
+
+    @nn.compact
+    def __call__(self, feats, refined_anchors_maps, strides):
+        """feats/refined_anchors_maps: per-level (B, H, W, C)/(B, H, W, 5).
+        Returns per-level cls (B,H,W,num_classes), reg (B,H,W,5)."""
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             name=f"cls_conv{i}")
+                     for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             name=f"reg_conv{i}")
+                     for i in range(self.stacked_convs)]
+        cls_out = nn.Conv(self.num_classes, (3, 3), padding=1,
+                          name="refine_cls")
+        reg_out = nn.Conv(5, (3, 3), padding=1, name="refine_reg")
+        cls_scores, bbox_preds = [], []
+        for x, anchors, stride in zip(feats, refined_anchors_maps,
+                                      strides):
+            x = rotated_feature_align(
+                x, anchors, points=5, spatial_scale=1.0 / stride)
+            cf, rf = x, x
+            for conv in cls_convs:
+                cf = nn.relu(conv(cf))
+            for conv in reg_convs:
+                rf = nn.relu(conv(rf))
+            cls_scores.append(cls_out(cf))
+            bbox_preds.append(reg_out(rf))
+        return cls_scores, bbox_preds
+
+
+class R3Det(nn.Module):
+    """R3Det: retina stage + feature-refinement stage."""
+
+    cfg: Dict[str, Any]
+    num_refine_stages: int = 1
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = _build_backbone(c["backbone"])
+        n = c["neck"]
+        self.neck = MultitaskFPN(
+            in_channels=tuple(n["in_channels"]),
+            out_channels=n["out_channels"], num_outs=n.get("num_outs", 5),
+            extra_level=n.get("extra_level", 1), name="neck")
+        self.bbox_head = RotatedRetinaHead(
+            num_classes=c["num_classes"], num_anchors=1,
+            name="bbox_head")
+        self.refine_heads = [
+            RefineHead(num_classes=c["num_classes"],
+                       feat_channels=n["out_channels"],
+                       name=f"refine_head{i}")
+            for i in range(self.num_refine_stages)]
+
+    def _anchor_generator(self):
+        # single square anchor per cell for the s1 stage (R3Det config)
+        return RotatedAnchorGenerator(
+            strides=[8, 16, 32, 64, 128], ratios=[1.0],
+            octave_base_scale=4, scales_per_octave=1)
+
+    def _coder(self):
+        return DeltaXYWHAOBBoxCoder(
+            angle_range=self.cfg.get("angle_version", "le90"),
+            target_means=(0.,) * 5, target_stds=(1., 1., 1., 1., 1.))
+
+    def extract_feat(self, imgs, train=False):
+        feats, gate_loss = self.backbone(imgs, train=train)
+        return self.neck(list(feats), start_level=1,
+                         add_extra_convs="on_output"), gate_loss
+
+    def __call__(self, batch, train=True):
+        c = self.cfg
+        x, gate_loss = self.extract_feat(batch["img"], train=train)
+        gen = self._anchor_generator()
+        coder = self._coder()
+        losses = {}
+        if gate_loss is not None:
+            losses["gate_loss"] = gate_loss
+        cls_scores, bbox_preds = self.bbox_head(x)
+        s1 = retina_loss(cls_scores, bbox_preds, batch["gt_obbs"],
+                         batch["gt_labels"], batch["gt_mask"], gen,
+                         coder, c["num_classes"])
+        losses.update({f"s0_{k}": v for k, v in s1.items()})
+
+        # refined anchors per location (detached, like the reference)
+        featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
+        anchors_l = gen.grid_anchors(featmap_sizes)
+        strides = (8, 16, 32, 64, 128)
+        refined_maps, refined_flat = [], []
+        for lvl, (bp, a) in enumerate(zip(bbox_preds, anchors_l)):
+            b, h, w, _ = bp.shape
+            deltas = jax.lax.stop_gradient(bp).reshape(b, -1, 5)
+            ref = coder.decode(jnp.broadcast_to(a[None], deltas.shape),
+                               deltas)
+            refined_maps.append(ref.reshape(b, h, w, 5))
+            refined_flat.append(ref)
+        for i, rh in enumerate(self.refine_heads):
+            r_cls, r_reg = rh(x, refined_maps, strides)
+            refined_anchors = jnp.concatenate(refined_flat, axis=1)
+
+            def refine_loss(cls_s, reg_s, anchors_img, gts, labels, mask):
+                from ...core.bbox.assigners import max_iou_assign
+                from ...ops.rotated_iou import box_iou_rotated_chunked
+                from ..losses import sigmoid_focal_loss, smooth_l1_loss
+                ious = box_iou_rotated_chunked(anchors_img, gts)
+                ious = jnp.where(mask[None, :], ious, -1.0)
+                assigned = max_iou_assign(
+                    ious, mask, pos_iou_thr=0.6, neg_iou_thr=0.5,
+                    min_pos_iou=0.0, match_low_quality=True)
+                pos = assigned > 0
+                gt_idx = jnp.clip(assigned - 1, 0)
+                tgt_cls = jnp.where(pos, labels[gt_idx],
+                                    c["num_classes"])
+                l_cls = sigmoid_focal_loss(
+                    cls_s, tgt_cls,
+                    weight=(assigned >= 0).astype(jnp.float32),
+                    avg_factor=1.0)
+                targets = coder.encode(anchors_img, gts[gt_idx])
+                l_reg = smooth_l1_loss(
+                    reg_s, targets, beta=0.11,
+                    weight=pos[:, None].astype(jnp.float32),
+                    avg_factor=1.0)
+                return l_cls, l_reg, jnp.sum(pos)
+
+            flat_cls = jnp.concatenate(
+                [s.reshape(s.shape[0], -1, c["num_classes"])
+                 for s in r_cls], axis=1)
+            flat_reg = jnp.concatenate(
+                [p.reshape(p.shape[0], -1, 5) for p in r_reg], axis=1)
+            l_cls, l_reg, n_pos = jax.vmap(refine_loss)(
+                flat_cls, flat_reg, refined_anchors, batch["gt_obbs"],
+                batch["gt_labels"], batch["gt_mask"])
+            total = jnp.maximum(jnp.sum(n_pos).astype(jnp.float32), 1.0)
+            losses[f"sr{i}_loss_cls"] = jnp.sum(l_cls) / total
+            losses[f"sr{i}_loss_bbox"] = jnp.sum(l_reg) / total
+        return losses
+
+
+class S2ANet(R3Det):
+    """S2ANet = FAM (stage-1 single-anchor retina) + aligned ODM stage;
+    structurally the R3Det skeleton with one refine stage (the ODM).
+    The alignment uses anchor-guided resampling (AlignConv contract)."""
+
+    num_refine_stages: int = 1

@@ -41,25 +41,27 @@ def extract_rotated_roi_feats(feats: Sequence[jnp.ndarray], rois,
                               finest_scale: int = 56):
     """Multi-level RoIAlignRotated with per-RoI level routing.
 
+    TPU-first single-pass design: all pyramid levels are stacked into ONE
+    row-concatenated buffer (padded to the widest level) and every RoI
+    gathers from its assigned level via a row offset — 1x gather traffic
+    instead of the naive align-on-every-level-and-mask (4x). Level
+    selection per ``RotatedSingleRoIExtractor.map_roi_levels``:
+    ``floor(log2(sqrt(wh)/56))``.
+
     Args:
         feats: per-level (B, H, W, C).
-        rois: (N, 6) (batch_idx, cx, cy, w, h, theta).
+        rois: (N, 6) (batch_idx, cx, cy, w, h, theta) in image coords.
     Returns:
         (N, out, out, C).
     """
+    from ...ops.roi_align_rotated import roi_align_rotated_pyramid
     scale = jnp.sqrt(jnp.maximum(rois[:, 3] * rois[:, 4], 1e-6))
     target_lvls = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
     target_lvls = jnp.clip(target_lvls, 0,
                            len(featmap_strides) - 1).astype(jnp.int32)
-    out = None
-    for lvl, stride in enumerate(featmap_strides):
-        pooled = roi_align_rotated(
-            feats[lvl], rois, out_size, 1.0 / stride,
-            sample_num=sample_num, aligned=True, clockwise=True)
-        sel = (target_lvls == lvl)[:, None, None, None]
-        out = jnp.where(sel, pooled, 0.0) if out is None \
-            else out + jnp.where(sel, pooled, 0.0)
-    return out
+    return roi_align_rotated_pyramid(
+        feats, rois, target_lvls, out_size,
+        featmap_strides=featmap_strides, sample_num=sample_num)
 
 
 class RotatedShared2FCBBoxHead(nn.Module):

@@ -47,19 +47,15 @@ def extract_hbb_roi_feats(feats, rois6_hbb, out_size=7, sample_num=2,
                           featmap_strides=(4, 8, 16, 32),
                           finest_scale=56):
     """rois6_hbb: (N, 5) = (batch_idx, x1, y1, x2, y2)."""
+    from ...ops.roi_align_rotated import roi_align_rotated_pyramid
     roi5 = hbb_to_roi5(rois6_hbb[:, 1:5])
     rois6 = jnp.concatenate([rois6_hbb[:, :1], roi5], axis=-1)
     scale = jnp.sqrt(jnp.maximum(roi5[:, 2] * roi5[:, 3], 1e-6))
     lvls = jnp.clip(jnp.floor(jnp.log2(scale / finest_scale + 1e-6)),
                     0, len(featmap_strides) - 1).astype(jnp.int32)
-    out = None
-    for lvl, stride in enumerate(featmap_strides):
-        pooled = roi_align_rotated(feats[lvl], rois6, out_size,
-                                   1.0 / stride, sample_num=sample_num)
-        sel = (lvls == lvl)[:, None, None, None]
-        add = jnp.where(sel, pooled, 0.0)
-        out = add if out is None else out + add
-    return out
+    return roi_align_rotated_pyramid(
+        list(feats), rois6, lvls, out_size,
+        featmap_strides=featmap_strides, sample_num=sample_num)
 
 
 def sample_hbb_rois(rng, proposals, proposal_valid, gt_bboxes, gt_labels,

@@ -138,11 +138,64 @@ def main():
                             source_ratio=tuple(ratio))
     jstep = jax.jit(step, donate_argnums=(0,))
 
+    # multi-val evaluation (the reference registers one EvalHook per
+    # modality, mmrotate/apis/train.py:100-166)
+    eval_fns = None
+    eval_interval = None
+    if cfg.get("evaluation") is not None:
+        from sm3det_tpu.core.evaluation.eval_map import eval_rbbox_map
+        from sm3det_tpu.data.loader import run_pipeline
+
+        eval_interval = cfg.evaluation.get("interval")
+        n_eval = int(cfg.evaluation.get("num_images", 16))
+        val_sets = build_datasets(cfg, args.synthetic_data)
+
+        def make_eval(sub, ds, pipe):
+            method = {"sar": "simple_test_sar", "rgb": "simple_test_rgb",
+                      "ifr": "simple_test_ifr"}[sub]
+            tfn = jax.jit(lambda v, x: model.apply(
+                {"params": v}, x, (cfg.img_size, cfg.img_size),
+                method=method))
+            box_dim = 4 if sub == "sar" else 5
+            key = "hbbs" if sub == "sar" else "obbs"
+
+            def run(state):
+                prng = np.random.RandomState(0)
+                det_results, annotations = [], []
+                for i in range(min(n_eval, len(ds))):
+                    raw = ds.get_raw(i)
+                    s = run_pipeline(prng, raw, pipe, train=False)
+                    dets, labels, valid = jax.device_get(
+                        tfn(state.params, s["img"][None]))
+                    dets, labels, valid = dets[0], labels[0], valid[0]
+                    per_class = []
+                    for c in range(cfg.num_classes):
+                        sel = valid & (labels == c)
+                        per_class.append(
+                            dets[sel][:, :box_dim + 1]
+                            if sub != "sar" else np.concatenate(
+                                [dets[sel][:, :4], dets[sel][:, 4:5]],
+                                -1))
+                    det_results.append(per_class)
+                    annotations.append(
+                        dict(bboxes=raw[key], labels=raw["labels"]))
+                return eval_rbbox_map(det_results, annotations,
+                                      box_dim=box_dim, logger=None)
+
+            return run
+
+        pipes_eval = [PipelineCfg(img_size=cfg.img_size,
+                                  version=cfg.angle_version)] * 3
+        eval_fns = {
+            sub: make_eval(sub, val_sets[i], pipes_eval[i])
+            for i, sub in enumerate(("sar", "rgb", "ifr"))}
+
     max_iters = args.max_iters or cfg.get("max_iters", 1000)
     run_training(
         jstep, state, data_iter, max_iters, work_dir,
         log_interval=cfg.get("log_interval", 50),
         checkpoint_interval=cfg.get("checkpoint_interval"),
+        eval_fns=eval_fns, eval_interval=eval_interval,
         start_iter=start_iter)
 
 
