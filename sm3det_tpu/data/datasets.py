@@ -187,6 +187,46 @@ class CocoDetDataset(BaseDetDataset):
 
 HRSC_CLASSES = ("ship",)
 
+# class lists for the remaining dataset families (mmrotate/datasets/)
+DOTA15_CLASSES = DOTA_CLASSES + ("container-crane",)
+FAIR_CLASSES = (
+    "Boeing737", "Boeing747", "Boeing777", "Boeing787", "C919", "A220",
+    "A321", "A330", "A350", "ARJ21", "Passenger-Ship", "Motorboat",
+    "Fishing-Boat", "Tugboat", "Engineering-Ship", "Liquid-Cargo-Ship",
+    "Dry-Cargo-Ship", "Warship", "Small-Car", "Bus", "Cargo-Truck",
+    "Dump-Truck", "Van", "Trailer", "Tractor", "Excavator",
+    "Truck-Tractor", "Basketball-Court", "Tennis-Court",
+    "Football-Field", "Baseball-Field", "Intersection", "Roundabout",
+    "Bridge")
+SSDD_CLASSES = ("ship",)
+DRONEVEHICLE_CLASSES = ("car", "truck", "bus", "van", "freight-car")
+SARDET_CLASSES = (
+    "ship", "aircraft", "car", "tank", "bridge", "harbor")
+
+
+def DOTA15Dataset(ann_folder, img_folder, **kw):
+    """DOTA-v1.5 (``dota_1_5.py``): DOTA loader with the 16-class list."""
+    kw.setdefault("classes", DOTA15_CLASSES)
+    return DOTADataset(ann_folder, img_folder, **kw)
+
+
+def FairDataset(ann_folder, img_folder, **kw):
+    """FAIR1M (``fair.py``): DOTA-format annotations, FAIR classes."""
+    kw.setdefault("classes", FAIR_CLASSES)
+    return DOTADataset(ann_folder, img_folder, **kw)
+
+
+def SSDDDataset(ann_folder, img_folder, **kw):
+    """SSDD SAR ship detection (``sar.py``), DOTA-format annotations."""
+    kw.setdefault("classes", SSDD_CLASSES)
+    return DOTADataset(ann_folder, img_folder, **kw)
+
+
+def DroneVehicleDataset(ann_folder, img_folder, **kw):
+    """DroneVehicle infrared (``dronevehicle.py``), DOTA-format."""
+    kw.setdefault("classes", DRONEVEHICLE_CLASSES)
+    return DOTADataset(ann_folder, img_folder, **kw)
+
 
 class HRSCDataset(BaseDetDataset):
     """HRSC2016 XML annotations (``mmrotate/datasets/hrsc.py`` contract):
