@@ -1,0 +1,66 @@
+"""Model registry population: every backbone/neck/head/detector is
+registered by its reference type name so config files build through
+``build_from_cfg`` (mmrotate ``ROTATED_*`` registry parity)."""
+
+from ..utils.registry import (BACKBONES, DETECTORS, HEADS, NECKS,
+                              build_from_cfg)
+from .backbones.convnext import ConvNeXtMoE
+from .backbones.lsknet import LSKNetMoE
+from .backbones.van import VANMoE
+from .backbones.swin import SwinMoE
+from .backbones.intern_vit import InternViTAdapter
+from .backbones.re_resnet import ReResNet
+from .necks.fpn import FPN, MultitaskFPN
+from .dense_heads.gfl_head import GFLHead
+from .dense_heads.oriented_rpn_head import OrientedRPNHead
+from .dense_heads.rotated_retina_head import RotatedRetinaHead
+from .dense_heads.rotated_fcos_head import RotatedFCOSHead
+from .dense_heads.oriented_reppoints_head import OrientedRepPointsHead
+from .dense_heads.rpn_head import RPNHead
+from .roi_heads.oriented_roi_head import RotatedShared2FCBBoxHead
+from .roi_heads.standard_roi_head import Shared2FCBBoxHead
+from .roi_heads.cascade_heads import GVBBoxHead, HBB2OBBBBoxHead
+from .detectors.trisource import TriSourceDetector
+from .detectors.trisource_variants import TriSourceVariant
+from .detectors.zoo import GFLDetector, OrientedRCNN, RotatedRetinaNet
+from .detectors.refine_detectors import R3Det, S2ANet
+
+for name, cls in [
+        ("ConvNeXt_moe", ConvNeXtMoE),
+        ("ConvNeXt_moe_MultiInput", ConvNeXtMoE),
+        ("LSKNet_moe", LSKNetMoE),
+        ("LSKNet_moe_MultiInput", LSKNetMoE),
+        ("VAN_moe", VANMoE),
+        ("VAN_moe_MultiInput", VANMoE),
+        ("SwinTransformer_moe", SwinMoE),
+        ("InternViTAdapter", InternViTAdapter),
+        ("ReResNet", ReResNet)]:
+    BACKBONES.register_module(name, module=cls)
+
+NECKS.register_module("FPN", module=FPN)
+NECKS.register_module("MultitaskFPN", module=MultitaskFPN)
+
+for name, cls in [
+        ("GFLHead", GFLHead),
+        ("OrientedRPNHead", OrientedRPNHead),
+        ("RotatedRetinaHead", RotatedRetinaHead),
+        ("RotatedFCOSHead", RotatedFCOSHead),
+        ("OrientedRepPointsHead", OrientedRepPointsHead),
+        ("RPNHead", RPNHead),
+        ("RotatedShared2FCBBoxHead", RotatedShared2FCBBoxHead),
+        ("Shared2FCBBoxHead", Shared2FCBBoxHead),
+        ("GVBBoxHead", GVBBoxHead),
+        ("HBB2OBBBBoxHead", HBB2OBBBBoxHead)]:
+    HEADS.register_module(name, module=cls)
+
+for name, cls in [
+        ("TriSourceDetector", TriSourceDetector),
+        ("TriSourceVariant", TriSourceVariant),
+        ("OrientedRCNN", OrientedRCNN),
+        ("RotatedRetinaNet", RotatedRetinaNet),
+        ("GFL", GFLDetector),
+        ("R3Det", R3Det),
+        ("S2ANet", S2ANet)]:
+    DETECTORS.register_module(name, module=cls)
+
+__all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "build_from_cfg"]

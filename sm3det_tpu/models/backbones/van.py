@@ -92,7 +92,7 @@ class VANMoE(nn.Module):
     multi_input: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dataset_ids=None):
         total = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total)
         moe_cfg = {"num_experts": self.num_experts, "top_k": self.top_k,

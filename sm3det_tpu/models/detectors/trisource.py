@@ -98,12 +98,17 @@ def build_multi_input_backbone(b: Dict[str, Any], name: str = "backbone"):
         capacity_factor=b.get("capacity_factor", 1.5),
         multi_input=True,
         name=name)
-    if btype in ("ConvNeXt", "ConvNeXt_moe_MultiInput"):
+    if btype in ("ConvNeXt", "ConvNeXt_moe_MultiInput",
+                 "ConvNeXt_DA_MultiInput"):
         return ConvNeXtMoE(
             arch=b.get("arch", "tiny"),
             moe_block_inds=tuple(tuple(i) for i in
                                  b.get("moe_block_inds",
                                        ((), (), (), ()))),
+            use_da=b.get("use_da", False),
+            da_block_inds=tuple(tuple(i) for i in
+                                b.get("da_block_inds",
+                                      ((), (), (), ()))),
             **common)
     if btype in ("LSKNet", "LSKNet_moe_MultiInput"):
         from ..backbones.lsknet import LSKNetMoE
@@ -188,7 +193,12 @@ class TriSourceDetector(nn.Module):
         imgs = jnp.concatenate(
             [batch["sar"]["img"], batch["rgb"]["img"], batch["ifr"]["img"]],
             axis=0)
-        feats, gate_loss = self.backbone(imgs, train=True)
+        # per-sample dataset ids (static composition) for DA backbones
+        dataset_ids = jnp.asarray(
+            [0] * source_ratio[0] + [1] * source_ratio[1]
+            + [2] * source_ratio[2], jnp.int32)
+        feats, gate_loss = self.backbone(imgs, train=True,
+                                         dataset_ids=dataset_ids)
         n_sar, n_rgb, n_ifr = source_ratio
         sar_f = [f[:n_sar] for f in feats]
         rgb_f = [f[n_sar:n_sar + n_rgb] for f in feats]
@@ -286,7 +296,8 @@ class TriSourceDetector(nn.Module):
 
     def simple_test_sar(self, imgs, img_shape=(800, 800)):
         c = self.cfg
-        feats, _ = self.backbone(imgs, train=False)
+        ids = jnp.zeros((imgs.shape[0],), jnp.int32)
+        feats, _ = self.backbone(imgs, train=False, dataset_ids=ids)
         sar_x = self._neck_sar(list(feats))
         cls_scores, bbox_preds = self.sar_bbox_head(sar_x)
         gen = make_sar_anchor_generator(tuple(c["sar"]["strides"]))
@@ -297,10 +308,11 @@ class TriSourceDetector(nn.Module):
             iou_thr=c["sar"]["nms_iou"], max_per_img=c["sar"]["max_per_img"])
 
     def _simple_test_rcnn(self, imgs, rpn_head, roi_head, img_shape,
-                          max_per_img=None):
+                          max_per_img=None, dataset_id=1):
         c = self.cfg
         version = c["angle_version"]
-        feats, _ = self.backbone(imgs, train=False)
+        ids = jnp.full((imgs.shape[0],), dataset_id, jnp.int32)
+        feats, _ = self.backbone(imgs, train=False, dataset_ids=ids)
         x = self._neck_rcnn(list(feats))
         rpn_cls, rpn_reg = rpn_head(x)
         rpn_gen = make_rpn_anchor_generator(tuple(c["rgb"]["rpn_strides"]))
@@ -333,7 +345,8 @@ class TriSourceDetector(nn.Module):
 
     def simple_test_ifr(self, imgs, img_shape=(800, 800)):
         return self._simple_test_rcnn(
-            imgs, self.ifr_rpn_head, self.ifr_roi_head, img_shape)
+            imgs, self.ifr_rpn_head, self.ifr_roi_head, img_shape,
+            dataset_id=2)
 
     def simple_test(self, imgs, subdataset: str, img_shape=(800, 800)):
         """Route on subdataset like the reference ``simple_test`` (:371)."""

@@ -84,7 +84,11 @@ class TriSourceVariant(nn.Module):
         imgs = jnp.concatenate(
             [batch["sar"]["img"], batch["rgb"]["img"], batch["ifr"]["img"]],
             axis=0)
-        feats, gate_loss = self.backbone(imgs, train=train)
+        dataset_ids = jnp.asarray(
+            [0] * source_ratio[0] + [1] * source_ratio[1]
+            + [2] * source_ratio[2], jnp.int32)
+        feats, gate_loss = self.backbone(imgs, train=train,
+                                         dataset_ids=dataset_ids)
         n_sar, n_rgb, n_ifr = source_ratio
         sar_f = [f[:n_sar] for f in feats]
         rgb_f = [f[n_sar:n_sar + n_rgb] for f in feats]

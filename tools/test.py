@@ -23,6 +23,9 @@ def parse_args():
     p.add_argument("--subdataset", default="rgb",
                    choices=["sar", "rgb", "ifr"])
     p.add_argument("--eval", default="mAP")
+    p.add_argument("--format-only", action="store_true",
+                   help="write DOTA Task1 submission instead of eval")
+    p.add_argument("--submission-dir", default="work_dirs/submission")
     p.add_argument("--num-images", type=int, default=32)
     p.add_argument("--synthetic-data", action="store_true")
     p.add_argument("--cfg-options", nargs="+", default=[])
@@ -116,6 +119,22 @@ def main():
     dt = time.perf_counter() - t0
     print(f"inference: {len(ds)} images in {dt:.1f}s "
           f"({len(ds) / dt:.2f} img/s)")
+
+    if args.format_only and sub != "sar":
+        # DOTA Task1 submission path (dota.py:243-323 parity):
+        # patch-id merge + per-class txt + zip
+        from sm3det_tpu.core.patch.split_merge import (
+            merge_det_by_patch_ids, write_dota_submission)
+        patch_ids = [str(i) for i in range(len(det_results))]
+        merged = merge_det_by_patch_ids(
+            patch_ids, det_results, nc)
+        class_names = [f"class_{c}" for c in range(nc)]
+        zip_path = write_dota_submission(
+            merged, class_names, args.submission_dir,
+            version=cfg.angle_version)
+        print(f"submission written: {zip_path}")
+        return
+
     res = eval_rbbox_map(det_results, annotations,
                          box_dim=4 if sub == "sar" else 5)
     print(res)
