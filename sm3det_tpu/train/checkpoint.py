@@ -154,3 +154,75 @@ def convnext_torch_to_jax(sd: Dict[str, np.ndarray], params: Dict,
             bb[f"out_norm{i}"]["scale"] = wn
             bb[f"out_norm{i}"]["bias"] = get(f"norm{i}.bias")
     return out
+
+
+def internvit_torch_to_jax(sd: Dict[str, np.ndarray], params: Dict,
+                           prefix: str = "vision_model.") -> Dict:
+    """Map an InternViT (HF ``modeling_intern_vit``) safetensors checkpoint
+    onto our :class:`InternViTAdapter` encoder params — the BabelRS
+    checkpoint-ingestion contract (SURVEY.md §2.7): patch embed, pos-embed
+    (interpolated bilinearly to the target grid like
+    ``mmcv_custom/checkpoint_beit.py``), per-block qkv/proj/mlp/norms and
+    layer scales. Adapter modules stay at init (they are new parameters,
+    as in the reference's fine-tuning)."""
+    import copy
+    out = copy.deepcopy(params)
+    bb = out["backbone"] if "backbone" in out else out
+
+    def get(key):
+        return sd.get(prefix + key, sd.get(key))
+
+    w = get("embeddings.patch_embedding.weight")
+    if w is not None:
+        stem = "stem_single" if "stem_single" in bb else "patch_embed"
+        bb[stem]["kernel"] = np.transpose(w, (2, 3, 1, 0))
+        bb[stem]["bias"] = get("embeddings.patch_embedding.bias")
+
+    pe = get("embeddings.position_embedding")
+    if pe is not None and "pos_embed" in bb:
+        # drop cls token if present, bilinear-resize to target grid
+        tgt = bb["pos_embed"].shape[1]
+        src = pe[0]
+        if src.shape[0] == tgt + 1:
+            src = src[1:]
+        if src.shape[0] != tgt:
+            side_s = int(np.sqrt(src.shape[0]))
+            side_t = int(np.sqrt(tgt))
+            grid = src.reshape(side_s, side_s, -1)
+            from ..data.transforms import _resize_bilinear
+            grid = _resize_bilinear(grid, side_t, side_t)
+            src = grid.reshape(side_t * side_t, -1)
+        bb["pos_embed"] = src[None]
+
+    i = 0
+    while f"block{i}" in bb:
+        blk = bb[f"block{i}"]
+        tp = f"encoder.layers.{i}."
+        if get(tp + "attn.qkv.weight") is None:
+            break
+        blk["qkv"]["kernel"] = get(tp + "attn.qkv.weight").T
+        if get(tp + "attn.qkv.bias") is not None:
+            blk["qkv"]["bias"] = get(tp + "attn.qkv.bias")
+        blk["proj"]["kernel"] = get(tp + "attn.proj.weight").T
+        blk["proj"]["bias"] = get(tp + "attn.proj.bias")
+        blk["fc1"]["kernel"] = get(tp + "mlp.fc1.weight").T
+        blk["fc1"]["bias"] = get(tp + "mlp.fc1.bias")
+        blk["fc2"]["kernel"] = get(tp + "mlp.fc2.weight").T
+        blk["fc2"]["bias"] = get(tp + "mlp.fc2.bias")
+        for norm, ref in (("norm1", "norm1"), ("norm2", "norm2")):
+            wn = get(tp + ref + ".weight")
+            if wn is None:
+                continue
+            if "weight" in blk[norm]:          # RMSNorm
+                blk[norm]["weight"] = wn
+            else:
+                blk[norm]["scale"] = wn
+                bn = get(tp + ref + ".bias")
+                if bn is not None:
+                    blk[norm]["bias"] = bn
+        for ls in ("ls1", "ls2"):
+            v = get(tp + ls)
+            if v is not None:
+                blk[ls] = v
+        i += 1
+    return out
