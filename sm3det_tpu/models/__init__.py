@@ -24,6 +24,7 @@ from .detectors.trisource import TriSourceDetector
 from .detectors.trisource_variants import TriSourceVariant
 from .detectors.zoo import GFLDetector, OrientedRCNN, RotatedRetinaNet
 from .detectors.refine_detectors import R3Det, S2ANet
+from .detectors.redet_roitrans import ReDet, RoITransformer
 
 for name, cls in [
         ("ConvNeXt_moe", ConvNeXtMoE),
@@ -60,7 +61,9 @@ for name, cls in [
         ("RotatedRetinaNet", RotatedRetinaNet),
         ("GFL", GFLDetector),
         ("R3Det", R3Det),
-        ("S2ANet", S2ANet)]:
+        ("S2ANet", S2ANet),
+        ("ReDet", ReDet),
+        ("RoITransformer", RoITransformer)]:
     DETECTORS.register_module(name, module=cls)
 
 __all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "build_from_cfg"]

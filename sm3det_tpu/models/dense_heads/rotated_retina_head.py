@@ -72,8 +72,15 @@ def make_retina_anchor_generator(strides=(8, 16, 32, 64, 128)):
 def retina_loss(cls_scores, bbox_preds, gt_obbs, gt_labels, gt_mask,
                 anchor_generator, coder: DeltaXYWHAOBBoxCoder,
                 num_classes: int, pos_iou_thr=0.5, neg_iou_thr=0.4,
-                min_pos_iou=0.0, beta=0.11, norm_ctx=None):
-    """Focal + SmoothL1 over all anchors (``rotated_anchor_head`` loss)."""
+                min_pos_iou=0.0, beta=0.11, norm_ctx=None,
+                reg_loss: str = "smooth_l1"):
+    """Focal + regression loss over all anchors (``rotated_anchor_head``).
+
+    ``reg_loss`` selects the box loss family used across the zoo configs:
+    'smooth_l1' (deltas), or decoded-box losses 'gwd' / 'kld'
+    (``gaussian_dist_loss.py``), 'kfiou' (``kf_iou_loss.py``),
+    'riou' (``rotated_iou_loss.py``).
+    """
     featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
     anchors = jnp.concatenate(
         anchor_generator.grid_anchors(featmap_sizes), axis=0)  # (A, 5)
@@ -98,10 +105,32 @@ def retina_loss(cls_scores, bbox_preds, gt_obbs, gt_labels, gt_mask,
         l_cls = sigmoid_focal_loss(
             cls_s, cls_target,
             weight=(pos | neg).astype(jnp.float32), avg_factor=1.0)
-        targets = coder.encode(anchors, gts[gt_idx])
-        l_reg = smooth_l1_loss(
-            reg_s, targets, beta=beta,
-            weight=pos[:, None].astype(jnp.float32), avg_factor=1.0)
+        pos_w = pos.astype(jnp.float32)
+        if reg_loss == "smooth_l1":
+            targets = coder.encode(anchors, gts[gt_idx])
+            l_reg = smooth_l1_loss(
+                reg_s, targets, beta=beta,
+                weight=pos[:, None].astype(jnp.float32), avg_factor=1.0)
+        else:
+            from ..losses import gwd_loss, kfiou_loss, kld_loss, \
+                rotated_iou_loss
+            decoded = coder.decode(anchors, reg_s)
+            target_obbs = gts[gt_idx]
+            if reg_loss == "gwd":
+                l_reg = gwd_loss(decoded, target_obbs, weight=pos_w,
+                                 avg_factor=1.0)
+            elif reg_loss == "kld":
+                l_reg = kld_loss(decoded, target_obbs, weight=pos_w,
+                                 avg_factor=1.0)
+            elif reg_loss == "kfiou":
+                targets = coder.encode(anchors, target_obbs)
+                l_reg = kfiou_loss(reg_s, targets, decoded, target_obbs,
+                                   weight=pos_w, avg_factor=1.0)
+            elif reg_loss == "riou":
+                l_reg = rotated_iou_loss(decoded, target_obbs,
+                                         weight=pos_w, avg_factor=1.0)
+            else:
+                raise ValueError(reg_loss)
         return l_cls, l_reg, jnp.sum(pos)
 
     l_cls, l_reg, n_pos = jax.vmap(single_image)(
