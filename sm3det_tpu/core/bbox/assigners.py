@@ -133,3 +133,48 @@ def atss_assign(ious, priors_cxcy, gt_hbboxes, gt_mask,
     max_overlaps = jnp.where(
         max_pos > -jnp.inf, max_pos, jnp.max(masked_ious, axis=1))
     return assigned.astype(jnp.int32), max_overlaps
+
+
+def convex_assign(pred_points, gt_polys, gt_mask, pos_iou_thr=0.5,
+                  neg_iou_thr=0.4, valid_points=None):
+    """ConvexAssigner/MaxConvexIoUAssigner contract
+    (``mmrotate/core/bbox/assigners/convex_assigner.py``): assign point
+    sets to gts by convex-hull IoU (our rotating-calipers + quad IoU).
+
+    Args:
+        pred_points: (P, K, 2) point sets.
+        gt_polys: (G, 8) gt quad corners (padded).
+    """
+    from ...ops.geometry_extras import convex_iou
+    ious = convex_iou(pred_points, gt_polys, valid_points)   # (P, G)
+    ious = jnp.where(gt_mask[None, :], ious, -1.0)
+    return max_iou_assign(ious, gt_mask, pos_iou_thr=pos_iou_thr,
+                          neg_iou_thr=neg_iou_thr,
+                          min_pos_iou=0.0, match_low_quality=True)
+
+
+def sas_assign(points, stride_vec, gt_obbs, gt_mask, topk: int = 9):
+    """SASAssigner contract (``sas_assigner.py``): per gt, take the topk
+    nearest points (center distance, scale-aware by level stride) that
+    fall inside the gt as positives."""
+    g = gt_obbs.shape[0]
+    cx, cy, w, h, th = (gt_obbs[:, i] for i in range(5))
+    cos_t, sin_t = jnp.cos(th), jnp.sin(th)
+    dx = points[:, 0][:, None] - cx[None]
+    dy = points[:, 1][:, None] - cy[None]
+    fx = cos_t[None] * dx + sin_t[None] * dy
+    fy = -sin_t[None] * dx + cos_t[None] * dy
+    inside = (jnp.abs(fx) < w[None] / 2) & (jnp.abs(fy) < h[None] / 2)
+    # scale-aware distance: normalize by gt scale and point stride
+    scale = jnp.sqrt(w * h)[None]
+    dist = jnp.sqrt(dx * dx + dy * dy) / jnp.maximum(scale, 1e-6)
+    dist = dist + (1.0 - inside) * 1e6 + (~gt_mask)[None] * 1e6
+    k = min(topk, points.shape[0])
+    _, top_idx = jax.lax.top_k(-dist.T, k)                  # (G, k)
+    is_pos = jnp.zeros((points.shape[0], g), bool)
+    is_pos = is_pos.at[top_idx, jnp.arange(g)[:, None]].set(True)
+    is_pos = is_pos & inside & gt_mask[None]
+    d_masked = jnp.where(is_pos, dist, jnp.inf)
+    best = jnp.argmin(d_masked, axis=1)
+    has = jnp.isfinite(jnp.min(d_masked, axis=1))
+    return jnp.where(has, best + 1, 0).astype(jnp.int32)

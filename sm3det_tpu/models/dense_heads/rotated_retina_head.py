@@ -61,6 +61,61 @@ class RotatedRetinaHead(nn.Module):
         return cls_scores, bbox_preds
 
 
+class CSLRetinaHead(nn.Module):
+    """CSL variant (``csl_rotated_retina_head.py`` parity): the reg branch
+    predicts 4 box params; the angle is CLASSIFIED into circular-smooth-
+    label bins (separate conv) — decode takes the argmax bin."""
+
+    num_classes: int = 15
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    num_anchors: int = 9
+    omega: int = 1
+    angle_version: str = "le90"
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        from ...core.bbox.angle_coder import CSLCoder
+        coding_len = CSLCoder(self.angle_version,
+                              omega=self.omega).coding_len
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             name=f"cls_conv{i}")
+                     for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             name=f"reg_conv{i}")
+                     for i in range(self.stacked_convs)]
+        cls_out = nn.Conv(self.num_anchors * self.num_classes, (3, 3),
+                          padding=1,
+                          bias_init=nn.initializers.constant(
+                              float(-np.log((1 - 0.01) / 0.01))),
+                          name="retina_cls")
+        reg_out = nn.Conv(self.num_anchors * 4, (3, 3), padding=1,
+                          name="retina_reg")
+        angle_out = nn.Conv(self.num_anchors * coding_len, (3, 3),
+                            padding=1, name="retina_angle_cls")
+        cls_scores, bbox_preds, angle_clses = [], [], []
+        for x in feats:
+            cf, rf = x, x
+            for conv in cls_convs:
+                cf = nn.relu(conv(cf))
+            for conv in reg_convs:
+                rf = nn.relu(conv(rf))
+            cls_scores.append(cls_out(cf))
+            bbox_preds.append(reg_out(rf))
+            angle_clses.append(angle_out(rf))
+        return cls_scores, bbox_preds, angle_clses
+
+
+def csl_angle_loss(angle_cls, angle_targets, pos_weight, coder,
+                   avg_factor=1.0):
+    """BCE between CSL logits and the circular smooth labels."""
+    smooth = coder.encode(angle_targets)
+    bce = jnp.maximum(angle_cls, 0) - angle_cls * smooth + \
+        jnp.log1p(jnp.exp(-jnp.abs(angle_cls)))
+    return jnp.sum(bce.mean(-1) * pos_weight) / jnp.maximum(
+        avg_factor, 1e-6)
+
+
 def make_retina_anchor_generator(strides=(8, 16, 32, 64, 128)):
     """octave_base_scale=4, scales_per_octave=3, ratios [.5,1,2]
     (mmrotate rotated_retinanet config defaults)."""
