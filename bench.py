@@ -35,7 +35,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 IMG = 800
-K = 8                       # scan steps per dispatch
+K = 16                      # scan steps per dispatch
 A100_ASSUMED_IPS = 25.0
 
 
