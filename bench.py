@@ -6,11 +6,11 @@ training composition [2 SAR : 1 RGB : 1 IR], with ALL post-processing
 (decode + static NMS) on device.
 
 Measurement note: the dev environment reaches the chip through an RPC
-tunnel with ~30 ms/call round-trip, so K inference steps are batched
-inside ONE jitted ``lax.scan`` — one dispatch covers K*4 images, and the
-time is read after materializing a small on-device summary. This measures
-model+post-processing throughput (what a directly-attached TPU VM would
-see), not tunnel latency.
+tunnel with ~30 ms/call round-trip, so K steps per modality run as
+carry-chained jit calls and the time is read after materializing one
+on-device summary scalar — this measures model+post-processing
+throughput (what a directly-attached TPU VM would see), not tunnel
+latency.
 
 vs_baseline: the reference repo publishes NO throughput numbers
 (BASELINE.md); we normalize against an assumed 25 img/s for SM3Det-T
