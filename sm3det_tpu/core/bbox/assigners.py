@@ -135,6 +135,49 @@ def atss_assign(ious, priors_cxcy, gt_hbboxes, gt_mask,
     return assigned.astype(jnp.int32), max_overlaps
 
 
+def atss_kld_assign(ious, prior_obbs, gt_obbs, gt_mask,
+                    num_level_priors, topk=9):
+    """ATSSKldAssigner (``atss_kld_assigner.py``): ATSS candidate
+    selection by (negative) KL divergence between prior and gt box
+    Gaussians instead of center distance; same mean+std IoU threshold."""
+    from ...models.losses import obb2gaussian
+    num_priors, num_gt = ious.shape
+    mu_p, sig_p = obb2gaussian(prior_obbs)          # (P, .)
+    mu_g, sig_g = obb2gaussian(gt_obbs)             # (G, .)
+    inv_g = jnp.linalg.inv(sig_g)                   # (G, 2, 2)
+    delta = mu_p[:, None, :] - mu_g[None, :, :]     # (P, G, 2)
+    t1 = jnp.einsum("pgi,gij,pgj->pg", delta, inv_g, delta)
+    t2 = jnp.einsum("gij,pji->pg", inv_g, sig_p)
+    det_ratio = jnp.log(jnp.clip(
+        jnp.linalg.det(sig_g)[None, :] /
+        jnp.clip(jnp.linalg.det(sig_p), 1e-7)[:, None], 1e-7))
+    kld = 0.5 * (t1 + t2 + det_ratio - 2)           # (P, G) smaller=closer
+
+    is_candidate = jnp.zeros((num_priors, num_gt), bool)
+    start = 0
+    for n in num_level_priors:
+        level_d = kld[start:start + n]
+        k = min(topk, n)
+        _, topk_idx = jax.lax.top_k(-level_d.T, k)  # (G, k)
+        level_mask = jnp.zeros((num_gt, n), bool)
+        level_mask = level_mask.at[
+            jnp.arange(num_gt)[:, None], topk_idx].set(True)
+        is_candidate = is_candidate.at[start:start + n].set(level_mask.T)
+        start += n
+
+    cand_ious = jnp.where(is_candidate, ious, jnp.nan)
+    mean_iou = jnp.nanmean(cand_ious, axis=0)
+    std_iou = jnp.sqrt(jnp.nanmean(
+        (cand_ious - mean_iou[None, :]) ** 2, axis=0))
+    is_pos = is_candidate & (ious >= (mean_iou + std_iou)[None, :]) & \
+        gt_mask[None, :]
+    pos_ious = jnp.where(is_pos, ious, -jnp.inf)
+    max_pos = jnp.max(pos_ious, axis=1)
+    assigned = jnp.where(max_pos > -jnp.inf,
+                         jnp.argmax(pos_ious, axis=1) + 1, 0)
+    return assigned.astype(jnp.int32)
+
+
 def convex_assign(pred_points, gt_polys, gt_mask, pos_iou_thr=0.5,
                   neg_iou_thr=0.4, valid_points=None):
     """ConvexAssigner/MaxConvexIoUAssigner contract

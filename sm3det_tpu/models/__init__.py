@@ -25,6 +25,8 @@ from .detectors.trisource_variants import TriSourceVariant
 from .detectors.zoo import GFLDetector, OrientedRCNN, RotatedRetinaNet
 from .detectors.refine_detectors import R3Det, S2ANet
 from .detectors.redet_roitrans import ReDet, RoITransformer
+from .detectors.single_stage_zoo import (GlidingVertex, OrientedRepPoints,
+                                         RotatedFCOS)
 
 for name, cls in [
         ("ConvNeXt_moe", ConvNeXtMoE),
@@ -63,7 +65,10 @@ for name, cls in [
         ("R3Det", R3Det),
         ("S2ANet", S2ANet),
         ("ReDet", ReDet),
-        ("RoITransformer", RoITransformer)]:
+        ("RoITransformer", RoITransformer),
+        ("RotatedFCOS", RotatedFCOS),
+        ("GlidingVertex", GlidingVertex),
+        ("OrientedRepPoints", OrientedRepPoints)]:
     DETECTORS.register_module(name, module=cls)
 
 __all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "build_from_cfg"]

@@ -20,6 +20,8 @@ class TrainState(NamedTuple):
     params: Any
     opt: TrainOptState
     rng: jax.Array
+    # previous-iteration reweighted losses (DWA carry; zeros = unset)
+    prev_losses: Any = None
 
 
 def init_trisource(rng, model: TriSourceDetector, sample_batch,
@@ -40,27 +42,44 @@ def init_trisource(rng, model: TriSourceDetector, sample_batch,
 
 def build_train_step(model: TriSourceDetector, init_fn, update_fn,
                      source_ratio=(2, 1, 1), loss_weights=None,
+                     multi_tasks_reweight=None, dwa_T: float = 2.0,
                      donate: bool = True):
     """Returns train_step(state, batch) -> (state, metrics).
 
     The loss is the plain sum of the loss dict (the reference's
-    ``_parse_losses``); optional ``loss_weights`` reweights terms
-    (uncertainty/dwa variants hook in here).
+    ``_parse_losses``). ``multi_tasks_reweight='dwa'`` applies Dynamic
+    Weight Averaging (``trisource_...:355-367``): per-loss weight
+    ``N * softmax((L_t / L_{t-1}) / T)`` with the previous losses carried
+    in the train state ('uncertainty' lives inside the model).
     """
+    from ..models.detectors.trisource import REWEIGHT_LOSS_KEYS
 
-    def loss_fn(params, batch, rngs):
+    def loss_fn(params, batch, rngs, prev_losses):
         losses = model.apply(
             {"params": params}, batch, source_ratio=source_ratio,
             train=True, rngs=rngs)
         total = jnp.zeros(())
         if "reweighted_total_losses" in losses:
-            # uncertainty/dwa mode: the reweighted sum replaces the
+            # uncertainty mode: the reweighted sum replaces the
             # individual task losses (kept as stop-grad metrics)
-            from ..models.detectors.trisource import REWEIGHT_LOSS_KEYS
             for k, v in losses.items():
                 if k in REWEIGHT_LOSS_KEYS:
                     continue
                 total = total + v
+        elif multi_tasks_reweight == "dwa":
+            cur = jnp.stack([losses[k] for k in REWEIGHT_LOSS_KEYS
+                             if k in losses])
+            prev = prev_losses
+            has_prev = jnp.any(prev > 0)
+            w_i = jax.lax.stop_gradient(cur) / jnp.maximum(prev, 1e-12)
+            n = cur.shape[0]
+            bw = jnp.where(has_prev,
+                           n * jax.nn.softmax(w_i / dwa_T),
+                           jnp.ones((n,)))
+            total = jnp.sum(cur * bw)
+            for k, v in losses.items():
+                if k not in REWEIGHT_LOSS_KEYS:
+                    total = total + v
         else:
             for k, v in losses.items():
                 w = 1.0 if loss_weights is None \
@@ -71,14 +90,22 @@ def build_train_step(model: TriSourceDetector, init_fn, update_fn,
     def train_step(state: TrainState, batch):
         rng, r_drop, r_noise, r_samp = jax.random.split(state.rng, 4)
         rngs = {"dropout": r_drop, "moe_noise": r_noise, "sampling": r_samp}
+        n_rw = len(REWEIGHT_LOSS_KEYS)
+        prev = state.prev_losses if state.prev_losses is not None \
+            else jnp.zeros((n_rw,))
         (total, losses), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, rngs)
+            loss_fn, has_aux=True)(state.params, batch, rngs, prev)
         updates, opt_state = update_fn(
             grads, state.opt, state.params, losses)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         metrics = dict(losses)
         metrics["loss"] = total
-        return TrainState(params=params, opt=opt_state, rng=rng), metrics
+        new_prev = jnp.stack([
+            jax.lax.stop_gradient(losses[k]) if k in losses
+            else jnp.zeros(()) for k in REWEIGHT_LOSS_KEYS]) \
+            if multi_tasks_reweight == "dwa" else state.prev_losses
+        return TrainState(params=params, opt=opt_state, rng=rng,
+                          prev_losses=new_prev), metrics
 
     return train_step
 
