@@ -139,3 +139,33 @@ def test_simple_test_paths(model_and_state):
     dets, labels, valid = rgb
     assert dets.shape == (1, 20, 6)
     assert np.isfinite(np.asarray(dets)).all()
+
+
+def test_aug_test_paths(model_and_state):
+    model, state, step, batch = model_and_state
+    import jax
+    v = {"params": state.params}
+    d, l, va = jax.jit(lambda v, x: model.apply(
+        v, x, "rgb", (IMG, IMG), method="aug_test"))(
+        v, batch["rgb"]["img"])
+    assert d.shape == (1, 20, 6)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_dwa_reweighting(model_and_state):
+    import jax
+    import jax.numpy as jnp
+    from sm3det_tpu.models.detectors.trisource import REWEIGHT_LOSS_KEYS
+    from sm3det_tpu.train.optim import make_optimizer
+    from sm3det_tpu.train.train_state import TrainState, build_train_step
+    model, state, _, batch = model_and_state
+    init_fn, update_fn, _ = make_optimizer(base_lr=1e-4, step_iters=(99,))
+    s = TrainState(params=state.params, opt=init_fn(state.params),
+                   rng=jax.random.PRNGKey(3),
+                   prev_losses=jnp.zeros(len(REWEIGHT_LOSS_KEYS)))
+    step = jax.jit(build_train_step(model, init_fn, update_fn,
+                                    multi_tasks_reweight="dwa"))
+    s1, m1 = step(s, batch)
+    s2, m2 = step(s1, batch)
+    assert np.isfinite(float(m2["loss"]))
+    assert bool((np.asarray(s2.prev_losses) > 0).any())
