@@ -53,3 +53,54 @@ class MultiSourceSampler:
                 for _ in range(r):
                     batch.append((s, next(streams[s])))
             yield batch
+
+
+class GroupMultiSourceSampler(MultiSourceSampler):
+    """Aspect-ratio-grouped variant (``multi_source_sampler.py:317``):
+    each batch draws all samples of a source from one aspect-ratio group
+    (0 = landscape, 1 = portrait) so padded batch shapes stay tight.
+
+    ``group_of``: callable (source, index) -> group id. Since our pipeline
+    pads to a fixed square the grouping only matters for IO efficiency;
+    semantics match the reference (group chosen per source per batch,
+    proportional to group sizes).
+    """
+
+    def __init__(self, source_sizes, source_ratio, group_of,
+                 seed: int = 0, host_id: int = 0, num_hosts: int = 1):
+        super().__init__(source_sizes, source_ratio, seed=seed,
+                         host_id=host_id, num_hosts=num_hosts)
+        # split every source's indices into the two groups
+        self._group_indices = []
+        for s, n in enumerate(self.sizes):
+            groups = {0: [], 1: []}
+            for i in range(n):
+                groups[int(group_of(s, i)) & 1].append(i)
+            self._group_indices.append(groups)
+
+    def _stream_group(self, source: int, group: int) -> Iterator[int]:
+        idxs = self._group_indices[source][group]
+        rng = np.random.RandomState(
+            self.seed * 1000003 + source * 31 + group)
+        while True:
+            perm = rng.permutation(len(idxs)) if self.shuffle \
+                else np.arange(len(idxs))
+            for i in range(self.host_id, len(idxs), self.num_hosts):
+                yield idxs[perm[i]]
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed * 7 + self.host_id)
+        streams = {(s, g): self._stream_group(s, g)
+                   for s in range(len(self.sizes)) for g in (0, 1)
+                   if self._group_indices[s][g]}
+        while True:
+            batch = []
+            for s, r in enumerate(self.ratio):
+                sizes = [len(self._group_indices[s][g]) for g in (0, 1)]
+                tot = max(sum(sizes), 1)
+                g = int(rng.rand() >= sizes[0] / tot)
+                if (s, g) not in streams:
+                    g = 1 - g
+                for _ in range(r):
+                    batch.append((s, next(streams[(s, g)])))
+            yield batch

@@ -150,3 +150,21 @@ class Config:
 
     def __repr__(self):
         return f"Config(file={self._filename})\n{self.pretty_text}"
+
+
+def compat_cfg(cfg: "Config") -> "Config":
+    """Legacy-config migration (``mmrotate/utils/compat_config.py:8``
+    contract): normalize old-style keys onto the current schema. Accepted
+    migrations: ``data.samples_per_gpu``->``batch_size`` hints,
+    ``lr_config.policy='dynamic'`` stays; unknown legacy keys pass
+    through untouched."""
+    d = cfg.to_dict()
+    data = d.get("data", {})
+    if "samples_per_gpu" in data and "batch_size" not in d:
+        d["batch_size"] = data["samples_per_gpu"]
+    if "train_dataloader" in data:
+        tl = data["train_dataloader"]
+        if tl.get("multi_datasets") and "source_ratio" in tl and \
+                "source_ratio" not in d:
+            d["source_ratio"] = tl["source_ratio"]
+    return Config(d, filename=cfg.filename)
