@@ -220,6 +220,12 @@ class MoELayer(nn.Module):
         pos_in_expert = jnp.cumsum(onehot, axis=0) - onehot       # (N*k, E)
         position = jnp.sum(pos_in_expert * onehot, axis=1)        # (N*k,)
         keep = position < capacity
+        # capacity A/B instrument (SURVEY §7): fraction of (token, choice)
+        # routes dropped by the static capacity — capture via
+        # mutable=['intermediates'] to tune capacity_factor against the
+        # reference's unbounded dispatcher
+        self.sow("intermediates", "drop_fraction",
+                 1.0 - jnp.mean(keep.astype(jnp.float32)))
 
         slot = flat_expert * capacity + jnp.minimum(
             position, capacity - 1)                               # (N*k,)
