@@ -56,6 +56,31 @@ class DLAConfig(NamedTuple):
     warmup_iters: int = 500
 
 
+def reweight_for_variant(sar_stages: int = 1, rot_stages: int = 2):
+    """Loss->subnet mapping matching each TriSource variant's loss names
+    (the reference configures ``reweight_losses`` per experiment)."""
+    out = []
+    if sar_stages == 1:
+        out += [("sar_loss_cls", "sar_bbox_head"),
+                ("sar_loss_bbox", "sar_bbox_head"),
+                ("sar_loss_dfl", "sar_bbox_head")]
+    else:
+        out += [("sar_loss_rpn_cls", "sar_rpn_head"),
+                ("sar_loss_rpn_bbox", "sar_rpn_head"),
+                ("sar_loss_cls", "sar_roi_head"),
+                ("sar_loss_bbox", "sar_roi_head")]
+    for m in ("rgb", "ifr"):
+        if rot_stages == 1:
+            out += [(f"{m}_loss_cls", f"{m}_bbox_head"),
+                    (f"{m}_loss_bbox", f"{m}_bbox_head")]
+        else:
+            out += [(f"{m}_loss_rpn_cls", f"{m}_rpn_head"),
+                    (f"{m}_loss_rpn_bbox", f"{m}_rpn_head"),
+                    (f"{m}_loss_cls", f"{m}_roi_head"),
+                    (f"{m}_loss_bbox", f"{m}_roi_head")]
+    return tuple(out)
+
+
 def make_dla_config(reweight=DEFAULT_REWEIGHT_LOSSES, T=3.0, b=0.4,
                     ema_beta=0.001, backbone_policy="sigmoid_kl",
                     head_policy="normal", warmup_iters=500) -> DLAConfig:

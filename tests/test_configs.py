@@ -1,0 +1,35 @@
+"""Config-corpus regression: every shipped config parses and resolves
+(_base_ inheritance, _delete_) — the reference uses its config corpus as
+a build-everything regression surface (SURVEY.md §4)."""
+
+import glob
+import os
+
+import pytest
+
+from sm3det_tpu.utils.config import Config
+
+ROOT = os.path.join(os.path.dirname(__file__), "..", "configs")
+CONFIGS = [p for p in glob.glob(os.path.join(ROOT, "**", "*.py"),
+                                recursive=True)
+           if "_base_" not in os.path.basename(os.path.dirname(p))
+           or True]
+
+
+@pytest.mark.parametrize("path", sorted(
+    p for p in CONFIGS if "_base_" not in p))
+def test_config_parses(path):
+    cfg = Config.fromfile(path)
+    assert cfg.to_dict()
+    # every experiment config must resolve a model with a backbone
+    if "model" in cfg:
+        assert "backbone" in cfg.model
+        assert "type" in cfg.model
+
+
+def test_delete_semantics():
+    base = {"model": {"backbone": {"a": 1, "b": 2}}}
+    new = {"model": {"backbone": {"_delete_": True, "c": 3}}}
+    from sm3det_tpu.utils.config import merge_dict
+    out = merge_dict(base, new)
+    assert out["model"]["backbone"] == {"c": 3}

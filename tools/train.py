@@ -79,11 +79,29 @@ def main():
 
     seed = args.seed if args.seed is not None else cfg.get("seed", 0)
     model_cfg = cfg.model.to_dict()
-    model_cfg.pop("type", None)
+    model_type = model_cfg.pop("type", "TriSourceDetector")
     pretrained = model_cfg["backbone"].pop("pretrained", None)
-    model_cfg["backbone"]["moe_block_inds"] = tuple(
-        tuple(x) for x in model_cfg["backbone"]["moe_block_inds"])
-    model = TriSourceDetector(cfg=model_cfg)
+    if "moe_block_inds" in model_cfg["backbone"]:
+        model_cfg["backbone"]["moe_block_inds"] = tuple(
+            tuple(x) for x in model_cfg["backbone"]["moe_block_inds"])
+    if model_type == "TriSourceDetector":
+        model = TriSourceDetector(cfg=model_cfg)
+    else:
+        # TriSource variants via the registry (H1R1/H2R1/H2R2 share the
+        # same batch/loss contract)
+        from sm3det_tpu.models import DETECTORS
+        cls = DETECTORS.get(model_type)
+        from sm3det_tpu.models.detectors.trisource_variants import \
+            TriSourceVariant
+        if cls is TriSourceVariant or model_type == "TriSourceVariant":
+            model = TriSourceVariant(
+                cfg=model_cfg,
+                sar_stages=cfg.model.get("sar_stages", 1),
+                rot_stages=cfg.model.get("rot_stages", 1))
+        else:
+            raise SystemExit(
+                f"tools/train.py drives the TriSource family; use the "
+                f"library API for single-dataset detector {model_type!r}")
 
     datasets = build_datasets(cfg, args.synthetic_data)
     ratio = list(cfg.source_ratio)
@@ -107,13 +125,21 @@ def main():
 
     lr_cfg = cfg.lr_config
     extra = lr_cfg.extra_args
-    dla_cfg = make_dla_config(
-        T=extra.get("T", 3.0), b=extra.get("b", 0.4),
-        ema_beta=extra.get("ema", 0.001),
-        backbone_policy=extra.get("backbone_policy", "sigmoid_kl"),
-        head_policy=extra.get("head_policy", "normal"),
-        warmup_iters=lr_cfg.get("warmup_iters", 500)) \
-        if lr_cfg.get("policy") == "dynamic" else None
+    if lr_cfg.get("policy") == "dynamic":
+        from sm3det_tpu.train.dla import reweight_for_variant
+        reweight = reweight_for_variant(
+            cfg.model.get("sar_stages", 1),
+            cfg.model.get("rot_stages", 2)) \
+            if model_type == "TriSourceVariant" else None
+        kw = dict(reweight=reweight) if reweight else {}
+        dla_cfg = make_dla_config(
+            T=extra.get("T", 3.0), b=extra.get("b", 0.4),
+            ema_beta=extra.get("ema", 0.001),
+            backbone_policy=extra.get("backbone_policy", "sigmoid_kl"),
+            head_policy=extra.get("head_policy", "normal"),
+            warmup_iters=lr_cfg.get("warmup_iters", 500), **kw)
+    else:
+        dla_cfg = None
     init_fn, update_fn, _ = make_optimizer(
         base_lr=cfg.optimizer.lr,
         weight_decay=cfg.optimizer.get("weight_decay", 0.0),
