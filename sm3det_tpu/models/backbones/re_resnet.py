@@ -1,15 +1,22 @@
-"""Rotation-equivariant ResNet (ReDet backbone), compact TPU re-design.
+"""Rotation-equivariant ResNet + FPN (ReDet backbone), TPU re-design.
 
-Parity target: ``mmrotate/models/backbones/re_resnet.py:406`` (+
-``models/utils/enn.py``/``orconv.py``/``ripool.py``): the reference uses
-e2cnn cyclic-group (C8) equivariant convolutions. Here equivariance comes
-from **weight orbit materialization**: each conv's base weights are
-expanded into 8 rotated + orientation-shifted copies via
-``active_rotated_filter`` (one static einsum), giving features with an
-explicit orientation axis (channels = C * 8). ``rotation_invariant_pool``
-max-pools the orientation axis (RiPool), and RiRoIAlign
-(``ops.orientation.riroi_align_rotated``) aligns orientation channels to
-each RoI's angle.
+Parity target: ``mmrotate/models/backbones/re_resnet.py:406`` +
+``mmrotate/models/necks/re_fpn.py`` (+ ``models/utils/enn.py`` /
+``ripool.py``): the reference uses e2cnn cyclic-group (C8) equivariant
+convolutions. Here equivariance comes from **weight-orbit
+materialization**: each conv's base weights are expanded into 8
+rotated + orientation-shifted copies with the EXACT 45-degree
+index-table semantics of ``active_rotated_filter``
+(:func:`sm3det_tpu.ops.orientation.arf_expand`), i.e. a C8 group
+convolution lowered to ONE dense conv on the MXU. Channel layout is
+orientation-fastest ``(C, O)`` everywhere, matching
+``rotation_invariant_pool`` (RiPool) and ``orientation_align`` /
+``riroi_align_rotated`` (RiRoIAlign).
+
+Equivariance is exact at 90-degree multiples (regression-tested);
+45-degree steps use the reference's own ring-permutation approximation.
+The 7x7 stem lift uses bilinear kernel rotation (exact at 90 degrees) —
+the TPU stand-in for e2cnn's steerable basis.
 """
 
 from __future__ import annotations
@@ -18,52 +25,79 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-from ...ops.orientation import active_rotated_filter
+from ...ops.orientation import (_rotation_interp_matrix, arf_expand,
+                                rotation_invariant_pool)
 
 
 class EquivariantConv(nn.Module):
-    """C8-equivariant conv: base weight (k, k, Cin*O, Cout) expanded to an
-    orbit of 8; output channels carry the orientation axis (Cout*O)."""
+    """C8-equivariant conv: base weight (k, k, Cin, O_in, Cout) expanded
+    to an 8-rotation orbit; output channels carry the orientation axis
+    with layout (Cout, O), orientation fastest — consistent with the
+    input grouping ``arf_expand`` assumes, so layers compose into a
+    genuine group convolution."""
 
     out_channels: int       # per-orientation output channels
     kernel_size: int = 3
     stride: int = 1
     num_orientations: int = 8
-    first_layer: bool = False   # input without orientation channels
+    first_layer: bool = False   # lift: input without orientation channels
 
     @nn.compact
     def __call__(self, x):
         o = self.num_orientations
         k = self.kernel_size
-        cin = x.shape[-1] if self.first_layer else x.shape[-1] // o
-        in_total = x.shape[-1]
-        if self.first_layer:
-            # lift: rotate the spatial kernel only (no orientation dim)
-            base = self.param(
-                "weight", nn.initializers.lecun_normal(),
-                (k, k, in_total, self.out_channels))
-            from ...ops.orientation import _rotation_interp_matrix
-            import numpy as np
-            mats = np.stack([
-                _rotation_interp_matrix(k, 2 * np.pi * r / o)
-                for r in range(o)])
-            w = base.reshape(k * k, in_total, self.out_channels)
-            orbit = jnp.einsum("rab,bcd->racd", jnp.asarray(mats), w)
-            orbit = orbit.reshape(o, k, k, in_total, self.out_channels)
+        o_in = 1 if self.first_layer else o
+        cin = x.shape[-1] // o_in
+        w = self.param(
+            "weight", nn.initializers.lecun_normal(),
+            (k, k, cin, o_in, self.out_channels))
+        if k in (1, 3):
+            # exact ARF index-table rotation (the reference op's spec)
+            wfull = arf_expand(w, o)
         else:
-            base = self.param(
-                "weight", nn.initializers.lecun_normal(),
-                (k, k, in_total, self.out_channels))
-            orbit = active_rotated_filter(base, o)
-        # stack orbit along output channels: (k, k, in, out*O)
-        wfull = jnp.concatenate([orbit[r] for r in range(o)], axis=-1)
+            if not self.first_layer:
+                raise ValueError(
+                    f"ARF index tables only cover k in (1, 3); k={k} is "
+                    "only supported for the first-layer lift")
+            # lift with bilinear spatial kernel rotation (exact at 90deg)
+            mats = np.stack([_rotation_interp_matrix(k, 2 * np.pi * r / o)
+                             for r in range(o)])      # (O, kk, kk)
+            wf = w.reshape(k * k, cin, self.out_channels)
+            orbit = jnp.einsum("rab,bcd->racd", jnp.asarray(mats), wf)
+            orbit = orbit.reshape(o, k, k, cin, self.out_channels)
+            # (k, k, cin, cout, O) -> orientation-fastest output layout
+            wfull = jnp.transpose(orbit, (1, 2, 3, 4, 0)).reshape(
+                k, k, cin, self.out_channels * o)
         pad = (k - 1) // 2
         return jax.lax.conv_general_dilated(
-            x, wfull, (self.stride, self.stride),
+            x, wfull.astype(x.dtype), (self.stride, self.stride),
             [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class EquivariantLayerNorm(nn.Module):
+    """LayerNorm whose scale/bias are SHARED across the orientation axis
+    (e2cnn InnerBatchNorm contract): channel stats are permutation
+    invariant, so tying gamma/beta per field keeps exact equivariance."""
+
+    num_orientations: int = 8
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        o = self.num_orientations
+        c = x.shape[-1] // o
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        gamma = self.param("scale", nn.initializers.ones, (c,))
+        beta = self.param("bias", nn.initializers.zeros, (c,))
+        y = y.reshape(x.shape[:-1] + (c, o))
+        y = y * gamma[:, None] + beta[:, None]
+        return y.reshape(x.shape)
 
 
 class ReBasicBlock(nn.Module):
@@ -77,10 +111,10 @@ class ReBasicBlock(nn.Module):
         identity = x
         y = EquivariantConv(self.channels, 3, self.stride,
                             num_orientations=o, name="conv1")(x)
-        y = nn.relu(nn.LayerNorm(name="norm1")(y))
+        y = nn.relu(EquivariantLayerNorm(o, name="norm1")(y))
         y = EquivariantConv(self.channels, 3, 1,
                             num_orientations=o, name="conv2")(y)
-        y = nn.LayerNorm(name="norm2")(y)
+        y = EquivariantLayerNorm(o, name="norm2")(y)
         if identity.shape != y.shape:
             identity = EquivariantConv(
                 self.channels, 1, self.stride,
@@ -88,16 +122,40 @@ class ReBasicBlock(nn.Module):
         return nn.relu(y + identity)
 
 
-def rotation_invariant_pool(x, num_orientations: int = 8):
-    """RiPool: max over the orientation axis (``ripool.py``)."""
-    b, h, w, co = x.shape
-    c = co // num_orientations
-    return jnp.max(x.reshape(b, h, w, num_orientations, c), axis=3)
+class ReFPN(nn.Module):
+    """Equivariant FPN (``mmrotate/models/necks/re_fpn.py``): 1x1
+    equivariant laterals (= cyclic group conv over the orientation
+    axis), nearest-neighbor top-down pathway, 3x3 equivariant output
+    convs. Outputs keep the (C, O) orientation-fastest layout so
+    RiRoIAlign can align them per-RoI."""
+
+    out_channels: int           # TOTAL channels (per-orientation * O)
+    num_outs: int = 5
+    num_orientations: int = 8
+
+    @nn.compact
+    def __call__(self, feats):
+        o = self.num_orientations
+        c = self.out_channels // o
+        laterals = [
+            EquivariantConv(c, 1, num_orientations=o,
+                            name=f"lateral{i}")(f)
+            for i, f in enumerate(feats)]
+        for i in range(len(laterals) - 1, 0, -1):
+            up = jax.image.resize(
+                laterals[i], laterals[i - 1].shape, method="nearest")
+            laterals[i - 1] = laterals[i - 1] + up
+        outs = [EquivariantConv(c, 3, num_orientations=o,
+                                name=f"fpn_conv{i}")(l)
+                for i, l in enumerate(laterals)]
+        while len(outs) < self.num_outs:
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return outs
 
 
 class ReResNet(nn.Module):
-    """Compact equivariant ResNet (depths configurable; channels are
-    per-orientation so actual widths are x8)."""
+    """Equivariant ResNet (depths configurable; ``stage_channels`` are
+    per-orientation so actual tensor widths are x ``num_orientations``)."""
 
     stem_channels: int = 8
     stage_channels: Sequence[int] = (8, 16, 32, 64)
@@ -111,7 +169,7 @@ class ReResNet(nn.Module):
         x = EquivariantConv(self.stem_channels, 7, 2,
                             num_orientations=o, first_layer=True,
                             name="stem")(x)
-        x = nn.relu(nn.LayerNorm(name="stem_norm")(x))
+        x = nn.relu(EquivariantLayerNorm(o, name="stem_norm")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1),
                                                             (1, 1)))
         outs = []
@@ -125,3 +183,7 @@ class ReResNet(nn.Module):
             if i in self.out_indices:
                 outs.append(x)   # orientation channels kept for RiRoI
         return tuple(outs), None
+
+
+__all__ = ["EquivariantConv", "EquivariantLayerNorm", "ReBasicBlock",
+           "ReFPN", "ReResNet", "rotation_invariant_pool"]

@@ -20,7 +20,8 @@ from flax import linen as nn
 from ...core.anchor import AnchorGenerator
 from ...core.bbox.coders import DeltaXYWHAOBBoxCoder, DeltaXYWHBBoxCoder
 from ...ops.box_convert import hbb2obb
-from ..backbones.re_resnet import ReResNet
+from ...ops.orientation import orientation_align
+from ..backbones.re_resnet import ReFPN, ReResNet
 from ..dense_heads.oriented_rpn_head import (OrientedRPNHead,
                                              rpn_get_proposals, rpn_loss)
 from ..dense_heads.rpn_head import (RPNHead, hbb_rpn_get_proposals,
@@ -37,9 +38,11 @@ from .trisource import (make_rcnn_coder, make_rpn_anchor_generator,
 
 
 class ReDet(nn.Module):
-    """ReResNet + FPN + Oriented RPN + rotated RoI head (RiRoI-style
-    orientation alignment happens inside the pooled features via the
-    equivariant channels)."""
+    """ReResNet + equivariant ReFPN + Oriented RPN + RiRoI-aligned
+    rotated head (``mmrotate/models/detectors/redet.py``): the neck
+    keeps the C8 orientation channels end-to-end and
+    ``orientation_align`` cyclically aligns each RoI's pooled features
+    to its own angle (RiRoIAlign contract) before the bbox head."""
 
     cfg: Dict[str, Any]
 
@@ -52,10 +55,8 @@ class ReDet(nn.Module):
             stage_blocks=tuple(b.get("stage_blocks", (2, 2, 2, 2))),
             name="backbone")
         n = c["neck"]
-        self.neck = MultitaskFPN(
-            in_channels=tuple(n["in_channels"]),
-            out_channels=n["out_channels"], num_outs=n.get("num_outs", 5),
-            extra_level=n.get("extra_level", 1), name="neck")
+        self.neck = ReFPN(out_channels=n["out_channels"],
+                          num_outs=n.get("num_outs", 5), name="neck")
         self.rpn_head = OrientedRPNHead(name="rpn_head")
         self.roi_head = RotatedShared2FCBBoxHead(
             num_classes=c["num_classes"], name="roi_head")
@@ -64,8 +65,7 @@ class ReDet(nn.Module):
         c = self.cfg
         version = c.get("angle_version", "le90")
         feats, _ = self.backbone(batch["img"], train=train)
-        x = self.neck(list(feats), start_level=0,
-                      add_extra_convs="on_output")
+        x = self.neck(list(feats))
         rpn_cls, rpn_reg = self.rpn_head(x)
         gen = make_rpn_anchor_generator()
         rpn_coder = make_rpn_coder(version)
@@ -88,6 +88,8 @@ class ReDet(nn.Module):
         rois6 = jnp.concatenate(
             [bidx, sampled["rois"].reshape(-1, 5)], axis=-1)
         rf = extract_rotated_roi_feats(x, rois6)
+        # RiRoIAlign: align the C8 orientation channels to each RoI angle
+        rf = orientation_align(rf, rois6[:, 5])
         cl, rp = self.roi_head(rf)
         cl = cl.reshape(bsz, s, -1)
         rp = rp.reshape(bsz, s, -1)

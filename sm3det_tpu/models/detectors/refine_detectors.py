@@ -24,6 +24,7 @@ from flax import linen as nn
 from ...core.anchor import RotatedAnchorGenerator
 from ...core.bbox.coders import DeltaXYWHAOBBoxCoder
 from ...ops.geometry_extras import rotated_feature_align
+from ...ops.orientation import arf_expand, rotation_invariant_pool
 from ..dense_heads.rotated_retina_head import (RotatedRetinaHead,
                                                retina_get_bboxes,
                                                retina_loss)
@@ -72,11 +73,86 @@ class RefineHead(nn.Module):
         return cls_scores, bbox_preds
 
 
+class ORConv(nn.Module):
+    """Oriented convolution (``mmrotate/models/utils/orconv.py:13``):
+    one base filter per output plane, expanded into ``n_rot`` actively
+    rotated copies (exact 45-degree index-table semantics via
+    :func:`arf_expand`). Output channels are (out_channels, n_rot) with
+    rotation fastest, like the torch op."""
+
+    out_channels: int          # per-rotation output planes (Cout)
+    n_orient: int = 1
+    n_rot: int = 8
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        cin = x.shape[-1] // self.n_orient
+        w = self.param(
+            "weight",
+            nn.initializers.normal(
+                (2.0 / (cin * self.n_orient * k * k)) ** 0.5),
+            (k, k, cin, self.n_orient, self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_channels * self.n_rot,))
+        kernel = arf_expand(w, self.n_rot)
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(1, 1),
+            padding=[(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(y.dtype)
+
+
+class ODMRefineHead(nn.Module):
+    """Oriented Detection Module head (S2ANet;
+    ``mmrotate/models/dense_heads/odm_refine_head.py:62-124``):
+    anchor-guided feature alignment (AlignConv contract), then ORConv
+    producing orientation-sensitive features for regression and
+    rotation-invariant-pooled features for classification."""
+
+    num_classes: int
+    feat_channels: int = 256
+    stacked_convs: int = 2
+    n_rot: int = 8
+
+    @nn.compact
+    def __call__(self, feats, refined_anchors_maps, strides):
+        or_conv = ORConv(out_channels=self.feat_channels // self.n_rot,
+                         n_rot=self.n_rot, name="or_conv")
+        # first cls conv consumes the pooled C/n_rot channels (ref :87)
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             name=f"cls_conv{i}")
+                     for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3), padding=1,
+                             name=f"reg_conv{i}")
+                     for i in range(self.stacked_convs)]
+        cls_out = nn.Conv(self.num_classes, (3, 3), padding=1,
+                          name="odm_cls")
+        reg_out = nn.Conv(5, (3, 3), padding=1, name="odm_reg")
+        cls_scores, bbox_preds = [], []
+        for x, anchors, stride in zip(feats, refined_anchors_maps,
+                                      strides):
+            x = rotated_feature_align(
+                x, anchors, points=5, spatial_scale=1.0 / stride)
+            or_feat = or_conv(x)                       # (B,H,W,C)
+            rf = or_feat
+            cf = rotation_invariant_pool(or_feat, self.n_rot)  # C/n_rot
+            for conv in cls_convs:
+                cf = nn.relu(conv(cf))
+            for conv in reg_convs:
+                rf = nn.relu(conv(rf))
+            cls_scores.append(cls_out(cf))
+            bbox_preds.append(reg_out(rf))
+        return cls_scores, bbox_preds
+
+
 class R3Det(nn.Module):
     """R3Det: retina stage + feature-refinement stage."""
 
     cfg: Dict[str, Any]
     num_refine_stages: int = 1
+    refine_head_type: str = "generic"   # 'generic' (R3Det) | 'odm' (S2ANet)
 
     def setup(self):
         c = self.cfg
@@ -89,10 +165,12 @@ class R3Det(nn.Module):
         self.bbox_head = RotatedRetinaHead(
             num_classes=c["num_classes"], num_anchors=1,
             name="bbox_head")
+        head_cls = (ODMRefineHead if self.refine_head_type == "odm"
+                    else RefineHead)
         self.refine_heads = [
-            RefineHead(num_classes=c["num_classes"],
-                       feat_channels=n["out_channels"],
-                       name=f"refine_head{i}")
+            head_cls(num_classes=c["num_classes"],
+                     feat_channels=n["out_channels"],
+                     name=f"refine_head{i}")
             for i in range(self.num_refine_stages)]
 
     def _anchor_generator(self):
@@ -180,8 +258,11 @@ class R3Det(nn.Module):
 
 
 class S2ANet(R3Det):
-    """S2ANet = FAM (stage-1 single-anchor retina) + aligned ODM stage;
-    structurally the R3Det skeleton with one refine stage (the ODM).
-    The alignment uses anchor-guided resampling (AlignConv contract)."""
+    """S2ANet = FAM (stage-1 single-anchor retina) + aligned ODM stage
+    (``mmrotate/models/detectors/s2anet.py``); structurally the R3Det
+    skeleton with one refine stage, which here is the full ODM head:
+    anchor-guided alignment -> ORConv -> orientation-sensitive reg branch
+    + rotation-invariant-pooled cls branch."""
 
     num_refine_stages: int = 1
+    refine_head_type: str = "odm"

@@ -181,6 +181,15 @@ class TriSourceDetector(nn.Module):
 
     # ---- feature extraction -------------------------------------------
 
+    def _cast_in(self, imgs):
+        """Apply the compute-dtype policy (``cfg['compute_dtype']``,
+        default fp32). With 'bfloat16' the conv/matmul path runs on the
+        MXU in half precision (params must be cast by the caller, e.g.
+        ``train.extras.bf16_policy``); norm stats stay fp32 (flax) and
+        all decode/NMS post-processing is cast back to fp32."""
+        dt = self.cfg.get("compute_dtype")
+        return imgs.astype(dt) if dt else imgs
+
     def _neck_sar(self, feats):
         return self.neck(feats, start_level=1, add_extra_convs="on_output")
 
@@ -197,7 +206,7 @@ class TriSourceDetector(nn.Module):
         dataset_ids = jnp.asarray(
             [0] * source_ratio[0] + [1] * source_ratio[1]
             + [2] * source_ratio[2], jnp.int32)
-        feats, gate_loss = self.backbone(imgs, train=True,
+        feats, gate_loss = self.backbone(self._cast_in(imgs), train=True,
                                          dataset_ids=dataset_ids)
         n_sar, n_rgb, n_ifr = source_ratio
         sar_f = [f[:n_sar] for f in feats]
@@ -297,9 +306,14 @@ class TriSourceDetector(nn.Module):
     def simple_test_sar(self, imgs, img_shape=(800, 800)):
         c = self.cfg
         ids = jnp.zeros((imgs.shape[0],), jnp.int32)
-        feats, _ = self.backbone(imgs, train=False, dataset_ids=ids)
+        feats, _ = self.backbone(self._cast_in(imgs), train=False,
+                                  dataset_ids=ids)
         sar_x = self._neck_sar(list(feats))
         cls_scores, bbox_preds = self.sar_bbox_head(sar_x)
+        # post-processing (decode/top-k/NMS) always runs fp32: with a bf16
+        # compute policy only the conv/matmul path stays half precision
+        cls_scores = [s.astype(jnp.float32) for s in cls_scores]
+        bbox_preds = [p.astype(jnp.float32) for p in bbox_preds]
         gen = make_sar_anchor_generator(tuple(c["sar"]["strides"]))
         return gfl_get_bboxes(
             cls_scores, bbox_preds, gen, c["num_classes"], img_shape,
@@ -312,9 +326,13 @@ class TriSourceDetector(nn.Module):
         c = self.cfg
         version = c["angle_version"]
         ids = jnp.full((imgs.shape[0],), dataset_id, jnp.int32)
-        feats, _ = self.backbone(imgs, train=False, dataset_ids=ids)
+        feats, _ = self.backbone(self._cast_in(imgs), train=False,
+                                  dataset_ids=ids)
         x = self._neck_rcnn(list(feats))
         rpn_cls, rpn_reg = rpn_head(x)
+        # proposal decode/NMS in fp32 (bf16 compute policy stops here)
+        rpn_cls = [s.astype(jnp.float32) for s in rpn_cls]
+        rpn_reg = [p.astype(jnp.float32) for p in rpn_reg]
         rpn_gen = make_rpn_anchor_generator(tuple(c["rgb"]["rpn_strides"]))
         rpn_coder = make_rpn_coder(version)
         proposals, p_scores, p_valid = rpn_get_proposals(
@@ -328,8 +346,8 @@ class TriSourceDetector(nn.Module):
             [batch_idx, proposals.reshape(-1, 5)], axis=-1)
         roi_feats = extract_rotated_roi_feats(x, rois6)
         cls_logits, reg_pred = roi_head(roi_feats)
-        cls_logits = cls_logits.reshape(bsz, s, -1)
-        reg_pred = reg_pred.reshape(bsz, s, -1)
+        cls_logits = cls_logits.reshape(bsz, s, -1).astype(jnp.float32)
+        reg_pred = reg_pred.reshape(bsz, s, -1).astype(jnp.float32)
         rcnn_coder = make_rcnn_coder(version)
         mx = max_per_img or c["rgb"]["rcnn_max"]
         return jax.vmap(

@@ -112,3 +112,55 @@ def test_zoo_retinanet_and_gfl():
     v2 = jax.jit(lambda x: gfl.init(RNGS, x, train=True))(b["sar"])
     l2 = gfl.apply(v2, b["sar"], train=True, rngs=APPLY_RNGS)
     assert np.isfinite(float(l2["loss_cls"]))
+
+
+def test_r3det_losses():
+    from sm3det_tpu.models.detectors.refine_detectors import R3Det
+    rng = np.random.RandomState(3)
+    b = _batch(rng)["rgb"]
+    model = R3Det(cfg=CFG)
+    variables = jax.jit(lambda x: model.init(RNGS, x, train=True))(b)
+    losses = model.apply(variables, b, train=True, rngs=APPLY_RNGS)
+    for k in ("s0_loss_cls", "s0_loss_bbox",
+              "sr0_loss_cls", "sr0_loss_bbox"):
+        assert k in losses and np.isfinite(float(losses[k])), k
+
+
+def test_s2anet_odm_losses_and_orconv_params():
+    from sm3det_tpu.models.detectors.refine_detectors import S2ANet
+    rng = np.random.RandomState(4)
+    b = _batch(rng)["rgb"]
+    model = S2ANet(cfg=CFG)
+    variables = jax.jit(lambda x: model.init(RNGS, x, train=True))(b)
+    # the ODM refine head must carry the ORConv weight
+    head = variables["params"]["refine_head0"]
+    assert "or_conv" in head, sorted(head)
+    # Cout = feat_channels // 8, single input orientation
+    w = head["or_conv"]["weight"]
+    assert w.shape == (3, 3, CFG["neck"]["out_channels"], 1,
+                       CFG["neck"]["out_channels"] // 8)
+    losses = model.apply(variables, b, train=True, rngs=APPLY_RNGS)
+    for k in ("s0_loss_cls", "sr0_loss_cls", "sr0_loss_bbox"):
+        assert k in losses and np.isfinite(float(losses[k])), k
+
+
+def test_redet_equivariant_refpn_riroi():
+    from sm3det_tpu.models.detectors.redet_roitrans import ReDet
+    cfg = dict(
+        num_classes=4, angle_version="le90",
+        backbone=dict(stem_channels=4, stage_channels=(4, 8, 16, 32),
+                      stage_blocks=(1, 1, 1, 1)),
+        neck=dict(in_channels=[32, 64, 128, 256], out_channels=32,
+                  num_outs=5),
+    )
+    rng = np.random.RandomState(5)
+    b = _batch(rng)["rgb"]
+    model = ReDet(cfg=cfg)
+    variables = jax.jit(lambda x: model.init(RNGS, x, train=True))(b)
+    # equivariant neck: lateral weights carry the (cin, o_in, cout) orbit
+    neck = variables["params"]["neck"]
+    assert "lateral0" in neck and "fpn_conv0" in neck
+    assert neck["lateral0"]["weight"].shape[-2:] == (8, 4)  # (O_in, Cout)
+    losses = model.apply(variables, b, train=True, rngs=APPLY_RNGS)
+    for k in ("loss_rpn_cls", "loss_cls", "loss_bbox"):
+        assert k in losses and np.isfinite(float(losses[k])), k
