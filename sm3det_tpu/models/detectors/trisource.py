@@ -228,8 +228,10 @@ class TriSourceDetector(nn.Module):
         if gate_loss is not None:
             losses["gate_loss"] = gate_loss
 
-        # SAR: GFL
+        # SAR: GFL (loss math always fp32 — bf16 policy ends at the heads)
         cls_scores, bbox_preds = self.sar_bbox_head(sar_x)
+        cls_scores = [s.astype(jnp.float32) for s in cls_scores]
+        bbox_preds = [p.astype(jnp.float32) for p in bbox_preds]
         sar_gen = make_sar_anchor_generator(tuple(c["sar"]["strides"]))
         sar_losses = gfl_loss(
             cls_scores, bbox_preds,
@@ -247,6 +249,8 @@ class TriSourceDetector(nn.Module):
                 ("ifr", ifr_x, self.ifr_rpn_head, self.ifr_roi_head)):
             data = batch[key]
             rpn_cls, rpn_reg = rpn_head(feats_m)
+            rpn_cls = [s.astype(jnp.float32) for s in rpn_cls]
+            rpn_reg = [p.astype(jnp.float32) for p in rpn_reg]
             r_losses = rpn_loss(
                 self.make_rng("sampling"), rpn_cls, rpn_reg,
                 data["gt_obbs"], data["gt_mask"], rpn_gen, rpn_coder,
@@ -277,8 +281,8 @@ class TriSourceDetector(nn.Module):
                 [batch_idx, sampled["rois"].reshape(-1, 5)], axis=-1)
             roi_feats = extract_rotated_roi_feats(feats_m, rois6)
             cls_logits, reg_pred = roi_head(roi_feats)
-            cls_logits = cls_logits.reshape(bsz, s, -1)
-            reg_pred = reg_pred.reshape(bsz, s, -1)
+            cls_logits = cls_logits.reshape(bsz, s, -1).astype(jnp.float32)
+            reg_pred = reg_pred.reshape(bsz, s, -1).astype(jnp.float32)
 
             l_cls, l_reg, n_valid, n_pos = jax.vmap(
                 lambda cl, rp, sm, g, gl: bbox_head_loss(

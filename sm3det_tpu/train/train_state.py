@@ -54,9 +54,19 @@ def build_train_step(model: TriSourceDetector, init_fn, update_fn,
     """
     from ..models.detectors.trisource import REWEIGHT_LOSS_KEYS
 
+    compute_dtype = model.cfg.get("compute_dtype") \
+        if isinstance(model.cfg, dict) else None
+
     def loss_fn(params, batch, rngs, prev_losses):
+        # bf16 policy: master params stay fp32 in the optimizer; the
+        # forward sees a bf16 copy (grad of the cast upcasts back), loss
+        # math is fp32 via the detector's head-output casts. TPU needs
+        # no loss scaling (bf16 exponent range == fp32).
+        p = params if compute_dtype is None else jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if x.dtype == jnp.float32 else x, params)
         losses = model.apply(
-            {"params": params}, batch, source_ratio=source_ratio,
+            {"params": p}, batch, source_ratio=source_ratio,
             train=True, rngs=rngs)
         total = jnp.zeros(())
         if "reweighted_total_losses" in losses:

@@ -169,3 +169,32 @@ def test_dwa_reweighting(model_and_state):
     s2, m2 = step(s1, batch)
     assert np.isfinite(float(m2["loss"]))
     assert bool((np.asarray(s2.prev_losses) > 0).any())
+
+
+def test_bf16_train_step(model_and_state):
+    """compute_dtype='bfloat16': forward in bf16, fp32 master params,
+    fp32 loss math — losses finite, params update in fp32."""
+    import copy
+    from sm3det_tpu.train.optim import make_optimizer
+    from sm3det_tpu.train.train_state import (TrainState, build_train_step,
+                                              init_trisource)
+    model32, state, _, batch = model_and_state
+    cfg = copy.deepcopy(TINY_CFG)
+    cfg["compute_dtype"] = "bfloat16"
+    model = TriSourceDetector(cfg=cfg)
+    init_fn, update_fn, _ = make_optimizer(
+        base_lr=1e-3, step_iters=(100,), warmup_iters=0)
+    st = TrainState(params=state.params, opt=init_fn(state.params),
+                    rng=jax.random.PRNGKey(7))
+    step = jax.jit(build_train_step(model, init_fn, update_fn))
+    new_state, metrics = step(st, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    # master params stay fp32 and actually move
+    leaves = jax.tree_util.tree_leaves(new_state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves
+               if l.dtype != jnp.int32)
+    delta = max(float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                                leaves))
+    assert delta > 0
