@@ -207,14 +207,8 @@ class R3Det(nn.Module):
         featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
         anchors_l = gen.grid_anchors(featmap_sizes)
         strides = (8, 16, 32, 64, 128)
-        refined_maps, refined_flat = [], []
-        for lvl, (bp, a) in enumerate(zip(bbox_preds, anchors_l)):
-            b, h, w, _ = bp.shape
-            deltas = jax.lax.stop_gradient(bp).reshape(b, -1, 5)
-            ref = coder.decode(jnp.broadcast_to(a[None], deltas.shape),
-                               deltas)
-            refined_maps.append(ref.reshape(b, h, w, 5))
-            refined_flat.append(ref)
+        refined_maps, refined_flat = _refine_anchor_maps(
+            bbox_preds, anchors_l, coder)
         for i, rh in enumerate(self.refine_heads):
             r_cls, r_reg = rh(x, refined_maps, strides)
             refined_anchors = jnp.concatenate(refined_flat, axis=1)
@@ -255,6 +249,86 @@ class R3Det(nn.Module):
             losses[f"sr{i}_loss_cls"] = jnp.sum(l_cls) / total
             losses[f"sr{i}_loss_bbox"] = jnp.sum(l_reg) / total
         return losses
+
+    def simple_test(self, imgs, img_shape=(800, 800), score_thr=0.05,
+                    iou_thr=0.1, max_per_img=2000):
+        """Inference (reference ``r3det.py`` / ``s2anet.py``
+        ``simple_test``): stage-1 regression refines the anchors, each
+        refine stage re-refines them, and the LAST stage's outputs are
+        decoded against its own refined anchors (``bboxes_as_anchors``)
+        into multiclass rotated NMS."""
+        c = self.cfg
+        x, _ = self.extract_feat(imgs, train=False)
+        gen = self._anchor_generator()
+        coder = self._coder()
+        cls_scores, bbox_preds = self.bbox_head(x)
+        featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
+        anchors_l = gen.grid_anchors(featmap_sizes)
+        strides = (8, 16, 32, 64, 128)
+        refined_maps, refined_flat = _refine_anchor_maps(
+            bbox_preds, anchors_l, coder)
+        r_cls, r_reg = None, None
+        for i, rh in enumerate(self.refine_heads):
+            r_cls, r_reg = rh(x, refined_maps, strides)
+            if i + 1 < len(self.refine_heads):
+                # re-refine anchors for the next stage
+                refined_maps = [
+                    coder.decode(m.reshape(m.shape[0], -1, 5),
+                                 p.reshape(p.shape[0], -1, 5))
+                    .reshape(m.shape)
+                    for m, p in zip(refined_maps, r_reg)]
+                refined_flat = [m.reshape(m.shape[0], -1, 5)
+                                for m in refined_maps]
+        return refine_get_bboxes(
+            r_cls, r_reg, refined_flat, coder, c["num_classes"],
+            score_thr=score_thr, iou_thr=iou_thr,
+            max_per_img=max_per_img)
+
+
+def _refine_anchor_maps(bbox_preds, anchors_l, coder):
+    """Per-level refined anchors from stage-1 regression (detached):
+    returns (maps (B,H,W,5) list, flat (B,N,5) list)."""
+    refined_maps, refined_flat = [], []
+    for bp, a in zip(bbox_preds, anchors_l):
+        b, h, w, _ = bp.shape
+        deltas = jax.lax.stop_gradient(bp).reshape(b, -1, 5)
+        ref = coder.decode(jnp.broadcast_to(a[None], deltas.shape), deltas)
+        refined_maps.append(ref.reshape(b, h, w, 5))
+        refined_flat.append(ref)
+    return refined_maps, refined_flat
+
+
+def refine_get_bboxes(cls_scores, bbox_preds, refined_anchors, coder,
+                      num_classes, nms_pre=2000, score_thr=0.05,
+                      iou_thr=0.1, max_per_img=2000):
+    """Decode refine-stage outputs against the per-image REFINED anchors
+    (the reference's ``bboxes_as_anchors`` contract,
+    ``odm_refine_head.py:126-140`` / ``r3det.py simple_test``) and run
+    multiclass rotated NMS. All inputs are per-level lists; refined
+    anchors are (B, N_lvl, 5)."""
+    from ...ops.nms import multiclass_nms_rotated
+
+    def single_image(cls_list, reg_list, anc_list):
+        cand_boxes, cand_scores = [], []
+        for cls_s, reg_s, anc in zip(cls_list, reg_list, anc_list):
+            scores = jax.nn.sigmoid(cls_s.reshape(-1, num_classes))
+            deltas = reg_s.reshape(-1, 5)
+            k = min(nms_pre, scores.shape[0])
+            _, top_idx = jax.lax.top_k(jnp.max(scores, -1), k)
+            cand_boxes.append(coder.decode(anc[top_idx], deltas[top_idx]))
+            cand_scores.append(scores[top_idx])
+        boxes = jnp.concatenate(cand_boxes, 0)
+        scores = jnp.concatenate(cand_scores, 0)
+        pad = jnp.zeros((scores.shape[0], 1), scores.dtype)
+        return multiclass_nms_rotated(
+            boxes, jnp.concatenate([scores, pad], -1),
+            score_thr=score_thr, iou_thr=iou_thr, max_num=max_per_img,
+            pre_nms=min(2000, scores.shape[0]))
+
+    b = cls_scores[0].shape[0]
+    cls_list = [s.reshape(b, -1, num_classes) for s in cls_scores]
+    reg_list = [p.reshape(b, -1, 5) for p in bbox_preds]
+    return jax.vmap(single_image)(cls_list, reg_list, refined_anchors)
 
 
 class S2ANet(R3Det):

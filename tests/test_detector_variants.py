@@ -164,3 +164,19 @@ def test_redet_equivariant_refpn_riroi():
     losses = model.apply(variables, b, train=True, rngs=APPLY_RNGS)
     for k in ("loss_rpn_cls", "loss_cls", "loss_bbox"):
         assert k in losses and np.isfinite(float(losses[k])), k
+
+
+def test_refine_detectors_simple_test():
+    from sm3det_tpu.models.detectors.refine_detectors import R3Det, S2ANet
+    rng = np.random.RandomState(6)
+    b = _batch(rng)["rgb"]
+    for cls in (R3Det, S2ANet):
+        model = cls(cfg=CFG)
+        variables = jax.jit(lambda x: model.init(RNGS, x, train=True))(b)
+        dets, labels, valid = model.apply(
+            variables, b["img"], (IMG, IMG), method="simple_test",
+            score_thr=0.0, max_per_img=20)
+        assert dets.shape == (1, 20, 6)
+        assert labels.shape == (1, 20)
+        assert np.isfinite(np.asarray(dets)).all()
+        assert int(np.asarray(valid).sum()) > 0   # score_thr=0 keeps some
