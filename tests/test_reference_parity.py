@@ -133,3 +133,123 @@ def test_gaussian_conversion_matches_reference(ref):
         axis=-1)
     assert np.allclose(np.sort(eig, -1), expect, rtol=1e-3)
     assert np.allclose(np.asarray(mu), obbs[:, :2], atol=1e-5)
+
+
+# ---- box coders against the reference's pure-torch implementations ----
+
+CODER_DIR = "/root/reference/mmrotate/core/bbox"
+
+
+@pytest.fixture(scope="module")
+def ref_coders():
+    """Load the reference coder modules with mmcv/mmdet stubbed (they are
+    only used as a no-op @mmcv.jit decorator and a BaseBBoxCoder base)."""
+    import sys
+    import types
+    if not os.path.exists(CODER_DIR):
+        pytest.skip("reference checkout not available")
+    if "mmcv" not in sys.modules:
+        mmcv = types.ModuleType("mmcv")
+        sys.modules["mmcv"] = mmcv
+    sys.modules["mmcv"].jit = lambda **kw: (lambda f: f)
+    for name in ("mmdet", "mmdet.core", "mmdet.core.bbox",
+                 "mmdet.core.bbox.coder"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    bbc = types.ModuleType("mmdet.core.bbox.coder.base_bbox_coder")
+
+    class BaseBBoxCoder:
+        def __init__(self, **kw):
+            pass
+    bbc.BaseBBoxCoder = BaseBBoxCoder
+    sys.modules["mmdet.core.bbox.coder.base_bbox_coder"] = bbc
+
+    pkg = types.ModuleType("refbbox")
+    pkg.__path__ = [CODER_DIR]
+    sys.modules["refbbox"] = pkg
+    sub = types.ModuleType("refbbox.coder")
+    sub.__path__ = [os.path.join(CODER_DIR, "coder")]
+    sys.modules["refbbox.coder"] = sub
+    builder = types.ModuleType("refbbox.builder")
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            return lambda c: c
+    builder.ROTATED_BBOX_CODERS = _Reg()
+    sys.modules["refbbox.builder"] = builder
+
+    spec = importlib.util.spec_from_file_location(
+        "refbbox.transforms", os.path.join(CODER_DIR, "transforms.py"))
+    tr = importlib.util.module_from_spec(spec)
+    sys.modules["refbbox.transforms"] = tr
+    spec.loader.exec_module(tr)
+
+    mods = {}
+    for fname in ("delta_midpointoffset_rbbox_coder",
+                  "delta_xywha_rbbox_coder"):
+        spec = importlib.util.spec_from_file_location(
+            f"refbbox.coder.{fname}",
+            os.path.join(CODER_DIR, "coder", f"{fname}.py"))
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[f"refbbox.coder.{fname}"] = m
+        spec.loader.exec_module(m)
+        mods[fname] = m
+    return mods
+
+
+def _rand_hbbs(rng, n):
+    cx, cy = rng.uniform(100, 700, n), rng.uniform(100, 700, n)
+    w, h = rng.uniform(30, 120, n), rng.uniform(30, 120, n)
+    return np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                    -1).astype(np.float32)
+
+
+def test_midpoint_offset_coder_matches_reference(ref_coders):
+    import torch
+    from sm3det_tpu.core.bbox.coders import MidpointOffsetCoder
+    m = ref_coders["delta_midpointoffset_rbbox_coder"]
+    rng = np.random.RandomState(0)
+    n = 128
+    anchors = _rand_hbbs(rng, n)
+    gts = _rand_obbs(rng, n, "le90")
+    stds = (1., 1., 1., 1., 0.5, 0.5)
+    ref_c = m.MidpointOffsetCoder(target_stds=stds, angle_range="le90")
+    ours = MidpointOffsetCoder(angle_range="le90", target_stds=stds)
+    exp = ref_c.encode(torch.from_numpy(anchors),
+                       torch.from_numpy(gts)).numpy()
+    got = np.asarray(ours.encode(anchors, gts))
+    assert np.abs(exp - got).max() < 2e-3
+    # decode parity: same deltas -> geometrically identical OBBs
+    deltas = (exp + rng.randn(*exp.shape) * 0.05).astype(np.float32)
+    exp_d = ref_c.decode(torch.from_numpy(anchors),
+                         torch.from_numpy(deltas)).numpy()
+    got_d = np.asarray(ours.decode(anchors, deltas))
+    from sm3det_tpu.ops.rotated_iou import box_iou_rotated
+    iou = np.asarray(box_iou_rotated(got_d, exp_d, aligned=True))
+    assert iou.min() > 0.99, iou.min()
+
+
+def test_delta_xywha_coder_matches_reference(ref_coders):
+    import torch
+    from sm3det_tpu.core.bbox.coders import DeltaXYWHAOBBoxCoder
+    m = ref_coders["delta_xywha_rbbox_coder"]
+    rng = np.random.RandomState(1)
+    n = 128
+    rois = _rand_obbs(rng, n, "le90")
+    gts = _rand_obbs(rng, n, "le90")
+    stds = (0.1, 0.1, 0.2, 0.2, 0.1)
+    ref_c = m.DeltaXYWHAOBBoxCoder(
+        angle_range="le90", norm_factor=None, edge_swap=True,
+        proj_xy=True, target_stds=stds)
+    ours = DeltaXYWHAOBBoxCoder(angle_range="le90", target_stds=stds,
+                                edge_swap=True, proj_xy=True)
+    exp = ref_c.encode(torch.from_numpy(rois),
+                       torch.from_numpy(gts)).numpy()
+    got = np.asarray(ours.encode(rois, gts))
+    assert np.abs(exp - got).max() < 2e-3
+    deltas = (exp * 0.8).astype(np.float32)
+    exp_d = ref_c.decode(torch.from_numpy(rois),
+                         torch.from_numpy(deltas)).numpy()
+    got_d = np.asarray(ours.decode(rois, deltas))
+    from sm3det_tpu.ops.rotated_iou import box_iou_rotated
+    iou = np.asarray(box_iou_rotated(got_d, exp_d, aligned=True))
+    assert iou.min() > 0.99, iou.min()
