@@ -27,6 +27,12 @@ from .detectors.refine_detectors import R3Det, S2ANet
 from .detectors.redet_roitrans import ReDet, RoITransformer
 from .detectors.single_stage_zoo import (GlidingVertex, OrientedRepPoints,
                                          RotatedFCOS)
+from .dense_heads.rotated_atss_head import RotatedATSSHead
+from .dense_heads.reppoints_variants import (RotatedRepPointsHead,
+                                             SAMRepPointsHead)
+from .detectors.zoo_extra import (GRepPoints, RotatedATSS,
+                                  RotatedFasterRCNN, RotatedRepPoints,
+                                  SAMRepPoints)
 
 for name, cls in [
         ("ConvNeXt_moe", ConvNeXtMoE),
@@ -53,7 +59,10 @@ for name, cls in [
         ("RotatedShared2FCBBoxHead", RotatedShared2FCBBoxHead),
         ("Shared2FCBBoxHead", Shared2FCBBoxHead),
         ("GVBBoxHead", GVBBoxHead),
-        ("HBB2OBBBBoxHead", HBB2OBBBBoxHead)]:
+        ("HBB2OBBBBoxHead", HBB2OBBBBoxHead),
+        ("RotatedATSSHead", RotatedATSSHead),
+        ("RotatedRepPointsHead", RotatedRepPointsHead),
+        ("SAMRepPointsHead", SAMRepPointsHead)]:
     HEADS.register_module(name, module=cls)
 
 for name, cls in [
@@ -68,7 +77,12 @@ for name, cls in [
         ("RoITransformer", RoITransformer),
         ("RotatedFCOS", RotatedFCOS),
         ("GlidingVertex", GlidingVertex),
-        ("OrientedRepPoints", OrientedRepPoints)]:
+        ("OrientedRepPoints", OrientedRepPoints),
+        ("RotatedFasterRCNN", RotatedFasterRCNN),
+        ("RotatedRepPoints", RotatedRepPoints),
+        ("SAMRepPoints", SAMRepPoints),
+        ("GRepPoints", GRepPoints),
+        ("RotatedATSS", RotatedATSS)]:
     DETECTORS.register_module(name, module=cls)
 
 __all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "build_from_cfg"]

@@ -128,7 +128,10 @@ def rpn_get_proposals(cls_scores, bbox_preds,
             k = min(nms_pre, scores.shape[0])
             top_vals, top_idx = jax.lax.top_k(scores, k)
             obbs = coder.decode(anchors_l[lvl][top_idx], deltas[top_idx])
-            # clip centers into the image (reference clips hproposals)
+            # NOTE: no image clipping — the reference's
+            # MidpointOffsetCoder.decode accepts max_shape but never
+            # applies it (delta_midpointoffset_rbbox_coder.py:57, arg
+            # unused in delta2bbox), so proposals are unclipped there too.
             boxes_all.append(obbs)
             scores_all.append(top_vals)
             level_all.append(jnp.full((k,), lvl, jnp.int32))

@@ -389,7 +389,12 @@ class TriSourceDetector(nn.Module):
 
         version = self.cfg["angle_version"]
         d1, l1, v1 = self.simple_test(imgs, subdataset, img_shape)
-        flipped = imgs[:, :, ::-1]
+        # horizontal flip via gather, NOT ::-1 reverse: the reverse op
+        # inside large jitted graphs crashes libtpu's fusion emitter
+        # (see CLAUDE.md TPU gotchas)
+        wdim = imgs.shape[2]
+        flip_idx = wdim - 1 - jnp.arange(wdim)
+        flipped = jnp.take(imgs, flip_idx, axis=2)
         d2, l2, v2 = self.simple_test(flipped, subdataset, img_shape)
         w = img_shape[1]
         if subdataset == "sar":

@@ -298,3 +298,94 @@ def kld_loss(pred, target, fun="log1p", tau=1.0,
         loss = dist
     loss = 1 - 1 / (tau + loss) if tau >= 1.0 else loss
     return _reduce(loss, weight, avg_factor)
+
+
+# --------------------------------------------------------------------------
+# RepPoints point-set losses
+# --------------------------------------------------------------------------
+
+def points_gaussian(pts):
+    """Single-Gaussian fit of a point set (the reference fits a
+    1-component ``GaussianMixture`` to the 9 RepPoints,
+    ``kld_reppoints_loss.py:56`` — with one component EM reduces to the
+    sample mean/covariance).
+
+    Args:
+        pts: (..., K, 2).
+    Returns:
+        mu (..., 2), var (..., 2, 2).
+    """
+    mu = jnp.mean(pts, axis=-2)
+    d = pts - mu[..., None, :]
+    var = jnp.einsum("...ki,...kj->...ij", d, d) / pts.shape[-2]
+    # regularize so det > 0 under jit (reference relies on torch EM floor)
+    var = var + 1e-4 * jnp.eye(2, dtype=pts.dtype)
+    return mu, var
+
+
+def poly_gaussian(polys):
+    """``gt2gaussian`` (mmrotate/core/bbox/transforms.py:916): quad
+    corners -> Gaussian with edge-aligned covariance, L=3 sigma box."""
+    L = 3.0
+    quad = polys.reshape(polys.shape[:-1] + (4, 2))
+    center = jnp.mean(quad, axis=-2)
+    edge1 = quad[..., 1, :] - quad[..., 0, :]
+    edge2 = quad[..., 2, :] - quad[..., 1, :]
+    w = jnp.sum(edge1 * edge1, axis=-1, keepdims=True)
+    h = jnp.sum(edge2 * edge2, axis=-1, keepdims=True)
+    w_ = jnp.sqrt(jnp.maximum(w, 1e-7))
+    cos_sin = edge1 / w_
+    # R rows: [cos, -sin], [sin, cos]  (transforms.py:934)
+    r0 = cos_sin * jnp.asarray([1.0, -1.0], polys.dtype)
+    r1 = cos_sin[..., ::-1]
+    R = jnp.stack([r0, r1], axis=-2)
+    diag = jnp.zeros(w.shape[:-1] + (2, 2), polys.dtype)
+    diag = diag.at[..., 0, 0].set(w[..., 0] / (4 * L * L))
+    diag = diag.at[..., 1, 1].set(h[..., 0] / (4 * L * L))
+    var = R @ diag @ jnp.swapaxes(R, -1, -2)
+    return center, var
+
+
+def kld_reppoints_loss(pred_pts, target_polys, weight=None,
+                       avg_factor=None, eps=1e-6):
+    """KLDRepPointsLoss (``kld_reppoints_loss.py:40``): KL divergence
+    between the Gaussian fit of the predicted point set and the gt quad's
+    Gaussian; loss = 1 - 1/(2 + sqrt(KL))."""
+    p_mu, p_var = points_gaussian(pred_pts)
+    t_mu, t_var = poly_gaussian(target_polys)
+    delta = (p_mu - t_mu)[..., None]
+    t_inv = jnp.linalg.inv(t_var + eps * jnp.eye(2, dtype=t_var.dtype))
+    term1 = jnp.squeeze(
+        jnp.swapaxes(delta, -1, -2) @ t_inv @ delta, (-1, -2))
+    term2 = jnp.trace(t_inv @ p_var, axis1=-2, axis2=-1) + jnp.log(
+        jnp.clip(jnp.linalg.det(t_var) /
+                 jnp.clip(jnp.linalg.det(p_var), 1e-7), 1e-7))
+    kld = jnp.clip(0.5 * (term1 + term2) - 1.0, eps)
+    loss = 1.0 - 1.0 / (2.0 + jnp.sqrt(kld))
+    return _reduce(loss, weight, avg_factor)
+
+
+def spatial_border_loss(pts, gt_polys, weight, avg_factor=None):
+    """SpatialBorderLoss (``spatial_border_loss.py:32``): penalize
+    learning points that fall OUTSIDE their assigned gt quad by 0.2x the
+    distance to the gt center, averaged over out-border points.
+
+    Args:
+        pts: (N, K, 2) point sets; gt_polys: (N, 8) aligned gt quads;
+        weight: (N,) positive mask.
+    """
+    quad = gt_polys.reshape(-1, 4, 2)
+    o = quad[:, None, :, :]                        # (N, 1, 4, 2)
+    e = jnp.roll(quad, -1, axis=-2)[:, None]
+    p = pts[:, :, None, :]                         # (N, K, 1, 2)
+    cr = (e[..., 0] - o[..., 0]) * (p[..., 1] - o[..., 1]) - \
+         (e[..., 1] - o[..., 1]) * (p[..., 0] - o[..., 0])
+    inside = jnp.all(cr >= 0, -1) | jnp.all(cr <= 0, -1)   # (N, K)
+    center = jnp.mean(quad, axis=-2)               # (N, 2)
+    d = jnp.linalg.norm(pts - center[:, None, :], axis=-1)
+    out = (~inside) & (weight[:, None] > 0)
+    n_out = jnp.maximum(jnp.sum(out), 1.0)
+    loss = jnp.sum(0.2 * d * out) / n_out
+    if avg_factor is not None:
+        return loss  # already a mean over out-border points
+    return loss

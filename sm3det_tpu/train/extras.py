@@ -1,15 +1,16 @@
-"""Training extras: gradient accumulation, EMA, mixed precision,
-layer-decay optimizer construction.
+"""Training extras: EMA, mixed precision, layer-decay scales.
 
 Parity targets (SURVEY.md §2.3/§2.8):
 - ``GradientCumulativeOptimizerHook`` (``mmcv/runner/hooks/optimizer.py:103``)
-  -> optax.MultiSteps wrapper.
-- ``EMAHook`` -> params EMA carried in the opt state.
+  -> ``make_optimizer(accumulate=N)`` in optim.py (in-graph lax.cond).
+- ``EMAHook`` -> params EMA carried in the train state
+  (``build_train_step(ema_decay=...)``).
 - ``Fp16OptimizerHook``/``wrap_fp16_model`` -> bf16 compute policy (TPU
   needs no loss scaling; params stay fp32, compute casts to bf16).
 - ``LayerDecayOptimizerConstructor`` (``mmcv_custom/layer_decay_optimizer_
-  constructor.py:30``) -> per-depth LR multipliers as an optax mask tree
-  (uses the backbone's layer-depth convention: stem=0, blocks by stage).
+  constructor.py:30``) -> per-depth LR multipliers as an optax mask tree,
+  applied by ``make_optimizer(layer_decay=...)`` (uses the backbone's
+  layer-depth convention: stem=0, blocks by stage).
 """
 
 from __future__ import annotations
@@ -19,41 +20,6 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 import optax
-
-
-def with_gradient_accumulation(update_fn, every: int):
-    """Wrap our (grads, state, params, losses) update_fn so updates apply
-    every ``every`` steps with averaged gradients."""
-    if every <= 1:
-        return update_fn
-
-    # carry an accumulator pytree alongside; caller stores it in its own
-    # state (we keep the interface: call .init_accum(params))
-    def init_accum(params):
-        return jax.tree.map(jnp.zeros_like, params), jnp.zeros((),
-                                                               jnp.int32)
-
-    def accum_update(grads, state, params, losses, accum):
-        acc, count = accum
-        acc = jax.tree.map(lambda a, g: a + g, acc, grads)
-        count = count + 1
-        ready = count >= every
-
-        def do_apply(_):
-            mean_grads = jax.tree.map(lambda a: a / every, acc)
-            updates, new_state = update_fn(mean_grads, state, params,
-                                           losses)
-            zero = jax.tree.map(jnp.zeros_like, acc)
-            return updates, new_state, (zero, jnp.zeros((), jnp.int32))
-
-        def skip(_):
-            zero_updates = jax.tree.map(jnp.zeros_like, params)
-            return zero_updates, state, (acc, count)
-
-        return jax.lax.cond(ready, do_apply, skip, None)
-
-    accum_update.init_accum = init_accum
-    return accum_update
 
 
 def ema_update(ema_params, params, decay: float = 0.9998):

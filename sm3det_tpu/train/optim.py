@@ -47,17 +47,28 @@ class TrainOptState(NamedTuple):
     adam: optax.OptState
     dla: DLAState
     step: jnp.ndarray
+    # gradient accumulation carry: () when disabled, else
+    # (grad_accumulator_tree, count) — GradientCumulativeOptimizerHook
+    # semantics (mmcv/mmcv/runner/hooks/optimizer.py:103)
+    accum: tuple = ()
 
 
 def make_optimizer(base_lr: float = 1e-4, weight_decay: float = 0.05,
                    betas=(0.9, 0.999), grad_clip: Optional[float] = None,
                    step_iters: Sequence[int] = (), gamma: float = 0.1,
                    warmup_iters: int = 500, warmup_ratio: float = 1. / 3.,
-                   dla_cfg: Optional[DLAConfig] = None):
+                   dla_cfg: Optional[DLAConfig] = None,
+                   accumulate: int = 1,
+                   layer_decay: Optional[Dict] = None):
     """Returns (init_fn(params) -> TrainOptState,
                 update_fn(grads, state, params, losses) -> (updates, state)).
 
     ``losses`` feeds DLA; pass None (or dla_cfg=None) for plain AdamW+step.
+    ``accumulate=N`` applies averaged updates every N steps
+    (``GradientCumulativeOptimizerHook``, mmcv optimizer.py:103).
+    ``layer_decay=dict(rate, num_layers)`` applies per-depth LR multipliers
+    (``LayerDecayOptimizerConstructor``,
+    mmcv_custom/layer_decay_optimizer_constructor.py:30).
     """
     schedule = step_lr(base_lr, step_iters, gamma, warmup_iters,
                        warmup_ratio)
@@ -72,11 +83,13 @@ def make_optimizer(base_lr: float = 1e-4, weight_decay: float = 0.05,
         dla = init_dla_state(dla_cfg) if dla_cfg is not None \
             else init_dla_state(
                 DLAConfig((), (), ()))
+        accum = () if accumulate <= 1 else (
+            jax.tree.map(jnp.zeros_like, params),
+            jnp.zeros((), jnp.int32))
         return TrainOptState(adam=adam.init(params), dla=dla,
-                             step=jnp.zeros((), jnp.int32))
+                             step=jnp.zeros((), jnp.int32), accum=accum)
 
-    def update_fn(grads, state: TrainOptState, params,
-                  losses: Optional[Dict[str, jnp.ndarray]] = None):
+    def apply_update(grads, state: TrainOptState, params, losses):
         if grad_clip:
             g_norm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, grad_clip / jnp.maximum(g_norm, 1e-6))
@@ -97,7 +110,44 @@ def make_optimizer(base_lr: float = 1e-4, weight_decay: float = 0.05,
             dla_state = state.dla
             updates = jax.tree.map(lambda u: u * (-lr), updates)
 
+        if layer_decay is not None:
+            from .extras import apply_layer_decay, layer_decay_scales
+            scales = layer_decay_scales(
+                params, num_layers=int(layer_decay["num_layers"]),
+                decay_rate=float(layer_decay["rate"]))
+            updates = apply_layer_decay(updates, scales)
+
+        return updates, adam_state, dla_state
+
+    def update_fn(grads, state: TrainOptState, params,
+                  losses: Optional[Dict[str, jnp.ndarray]] = None):
+        if accumulate <= 1:
+            updates, adam_state, dla_state = apply_update(
+                grads, state, params, losses)
+            return updates, TrainOptState(
+                adam=adam_state, dla=dla_state, step=state.step + 1,
+                accum=())
+
+        acc, count = state.accum
+        acc = jax.tree.map(lambda a, g: a + g, acc, grads)
+        count = count + 1
+
+        def do_apply(_):
+            mean = jax.tree.map(lambda a: a / accumulate, acc)
+            updates, adam_state, dla_state = apply_update(
+                mean, state, params, losses)
+            zero = jax.tree.map(jnp.zeros_like, acc)
+            return updates, adam_state, dla_state, \
+                (zero, jnp.zeros((), jnp.int32))
+
+        def skip(_):
+            return (jax.tree.map(jnp.zeros_like, params), state.adam,
+                    state.dla, (acc, count))
+
+        updates, adam_state, dla_state, accum = jax.lax.cond(
+            count >= accumulate, do_apply, skip, None)
         return updates, TrainOptState(
-            adam=adam_state, dla=dla_state, step=state.step + 1)
+            adam=adam_state, dla=dla_state, step=state.step + 1,
+            accum=accum)
 
     return init_fn, update_fn, schedule

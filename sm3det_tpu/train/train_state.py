@@ -22,6 +22,8 @@ class TrainState(NamedTuple):
     rng: jax.Array
     # previous-iteration reweighted losses (DWA carry; zeros = unset)
     prev_losses: Any = None
+    # EMA of params (EMAHook parity; None = disabled)
+    ema: Any = None
 
 
 def init_trisource(rng, model: TriSourceDetector, sample_batch,
@@ -43,7 +45,7 @@ def init_trisource(rng, model: TriSourceDetector, sample_batch,
 def build_train_step(model: TriSourceDetector, init_fn, update_fn,
                      source_ratio=(2, 1, 1), loss_weights=None,
                      multi_tasks_reweight=None, dwa_T: float = 2.0,
-                     donate: bool = True):
+                     donate: bool = True, ema_decay: float = 0.0):
     """Returns train_step(state, batch) -> (state, metrics).
 
     The loss is the plain sum of the loss dict (the reference's
@@ -114,28 +116,57 @@ def build_train_step(model: TriSourceDetector, init_fn, update_fn,
             jax.lax.stop_gradient(losses[k]) if k in losses
             else jnp.zeros(()) for k in REWEIGHT_LOSS_KEYS]) \
             if multi_tasks_reweight == "dwa" else state.prev_losses
+        ema = state.ema
+        if ema_decay and ema is not None:
+            from .extras import ema_update
+            ema = ema_update(ema, params, decay=ema_decay)
         return TrainState(params=params, opt=opt_state, rng=rng,
-                          prev_losses=new_prev), metrics
+                          prev_losses=new_prev, ema=ema), metrics
 
     return train_step
 
 
-def shard_train_step(train_step, mesh, state_shardings=None):
-    """jit the step over a mesh: batch sharded on 'data', state replicated
-    except expert-parallel params."""
-    from ..parallel.mesh import batch_sharding, param_sharding
+def state_sharding(mesh, state: TrainState) -> TrainState:
+    """Sharding tree for a TrainState: expert-stacked params (and their
+    mirrored AdamW moments / accumulators, whose pytree paths contain the
+    same ``experts`` scope) over 'expert'; everything else replicated."""
+    from ..parallel.mesh import param_sharding
 
-    def jit_with(state, batch):
-        p_sh = param_sharding(mesh, state.params)
-        st_sh = TrainState(
-            params=p_sh,
-            opt=jax.tree.map(
-                lambda _: NamedSharding(mesh, P()), state.opt),
-            rng=NamedSharding(mesh, P()))
-        b_sh = batch_sharding(mesh, batch)
-        return jax.jit(
-            train_step,
-            in_shardings=(st_sh, b_sh),
-            out_shardings=(st_sh, NamedSharding(mesh, P())))
+    return TrainState(
+        params=param_sharding(mesh, state.params),
+        opt=param_sharding(mesh, state.opt),
+        rng=NamedSharding(mesh, P()),
+        prev_losses=None if state.prev_losses is None
+        else jax.tree.map(lambda _: NamedSharding(mesh, P()),
+                          state.prev_losses),
+        ema=None if state.ema is None
+        else param_sharding(mesh, state.ema))
 
-    return jit_with
+
+def shard_train_step(train_step, mesh, state, batch, donate: bool = True):
+    """jit the step over the mesh: batch sharded on 'data', state
+    replicated except expert-parallel params/moments. Returns
+    (jitted_step, sharded_state, put_batch) where ``put_batch`` shards a
+    host batch onto the mesh."""
+    from ..parallel.mesh import batch_sharding
+
+    st_sh = state_sharding(mesh, state)
+    b_sh = batch_sharding(mesh, batch)
+    sharded_state = jax.device_put(state, st_sh)
+    jstep = jax.jit(
+        train_step,
+        in_shardings=(st_sh, b_sh),
+        out_shardings=(st_sh, NamedSharding(mesh, P())),
+        donate_argnums=(0,) if donate else ())
+
+    def put_batch(b):
+        if jax.process_count() > 1:
+            # multi-host: each process holds only its local slice of the
+            # global batch (per-host loader shard); assemble the global
+            # array from process-local data
+            return jax.tree.map(
+                lambda s, x: jax.make_array_from_process_local_data(s, x),
+                b_sh, b)
+        return jax.device_put(b, b_sh)
+
+    return jstep, sharded_state, put_batch

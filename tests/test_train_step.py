@@ -1,8 +1,8 @@
 """End-to-end TriSource train-step tests on tiny shapes (CPU).
 
 The fake-dataset harness of SURVEY.md §4: a tiny in-memory batch exercises
-config -> model -> losses -> DLA -> optimizer in ONE jitted program, plus
-the multi-chip sharding path on the virtual 8-device CPU mesh.
+config -> model -> losses -> DLA -> optimizer in ONE jitted program.
+(The multi-chip sharding path is covered by tests/test_mesh_sharding.py.)
 """
 
 import jax

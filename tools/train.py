@@ -11,6 +11,15 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 if os.environ.get("SM3DET_CPU"):
+    # SM3DET_CPU=N (N>1) provisions N virtual CPU devices for mesh smoke
+    # runs; SM3DET_CPU=1 is plain single-device CPU.
+    _n = os.environ["SM3DET_CPU"]
+    if _n.isdigit() and int(_n) > 1:
+        _f = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in _f:
+            os.environ["XLA_FLAGS"] = (
+                _f + f" --xla_force_host_platform_device_count={_n}"
+            ).strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -26,8 +35,37 @@ def parse_args():
                    help="override max_iters (smoke runs)")
     p.add_argument("--synthetic-data", action="store_true",
                    help="force synthetic fixtures instead of real data")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="use the first N local devices (default: all)")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
+
+
+def init_distributed():
+    """Multi-host SPMD init (replaces init_dist/NCCL,
+    mmcv/mmcv/runner/dist_utils.py:37): env-gated so single-host runs
+    need nothing. Set SM3DET_DIST=1 (or JAX coordinator env vars /
+    tools/dist_train.sh) to enable ``jax.distributed.initialize``."""
+    import jax
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+        os.environ.get("COORDINATOR_ADDRESS")
+    if addr:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ.get("NPROC", "1")),
+            process_id=int(os.environ.get("PROC_ID", "0")))
+    elif os.environ.get("SM3DET_DIST"):
+        try:
+            jax.distributed.initialize()  # auto-detect (TPU pod metadata)
+        except Exception as e:  # single process, no pod metadata
+            print(f"jax.distributed auto-init unavailable "
+                  f"({type(e).__name__}); single-process run")
+            return
+    else:
+        return
+    print(f"jax.distributed: process {jax.process_index()}/"
+          f"{jax.process_count()}, "
+          f"{jax.local_device_count()} local devices")
 
 
 def build_datasets(cfg, synthetic: bool):
@@ -103,13 +141,33 @@ def main():
                 f"tools/train.py drives the TriSource family; use the "
                 f"library API for single-dataset detector {model_type!r}")
 
+    # --- SPMD setup: DP x EP mesh over all addressable devices ---
+    init_distributed()
+    n_dev = args.num_devices or jax.device_count()
+    ep = int(cfg.get("expert_parallel", 1))
+    if n_dev % max(ep, 1) != 0:
+        raise SystemExit(f"expert_parallel={ep} must divide "
+                         f"device count {n_dev}")
+    dp = n_dev // ep  # data-parallel replicas (batch composition scaling)
+    mesh = None
+    if n_dev > 1:
+        from sm3det_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_dev, expert_parallel=ep)
+        print(f"mesh: {n_dev} devices = {dp} data x {ep} expert")
+
     datasets = build_datasets(cfg, args.synthetic_data)
-    ratio = list(cfg.source_ratio)
+    base_ratio = list(cfg.source_ratio)
+    ratio = [r * dp for r in base_ratio]  # global per-step composition
     pipes = [PipelineCfg(img_size=cfg.img_size,
                          max_gt=cfg.data[k].get("max_gt", 256),
                          version=cfg.angle_version)
              for k in ("sar", "rgb", "ifr")]
-    loader = TriSourceLoader(datasets, ratio, pipes, seed=seed)
+    # each host loads only its share of the global batch
+    dp_local = max(dp // jax.process_count(), 1)
+    loader = TriSourceLoader(datasets, base_ratio, pipes,
+                             batches_per_step=dp_local, seed=seed,
+                             host_id=jax.process_index(),
+                             num_hosts=jax.process_count())
     data_iter = iter(loader)
 
     sample_batch = next(data_iter)
@@ -140,6 +198,9 @@ def main():
             warmup_iters=lr_cfg.get("warmup_iters", 500), **kw)
     else:
         dla_cfg = None
+    layer_decay = cfg.optimizer.get("layer_decay")
+    if layer_decay is not None and hasattr(layer_decay, "to_dict"):
+        layer_decay = layer_decay.to_dict()
     init_fn, update_fn, _ = make_optimizer(
         base_lr=cfg.optimizer.lr,
         weight_decay=cfg.optimizer.get("weight_decay", 0.0),
@@ -148,10 +209,21 @@ def main():
         step_iters=tuple(lr_cfg.get("step", [])),
         warmup_iters=lr_cfg.get("warmup_iters", 500),
         warmup_ratio=lr_cfg.get("warmup_ratio", 1.0 / 3),
-        dla_cfg=dla_cfg)
+        dla_cfg=dla_cfg,
+        accumulate=int(cfg.optimizer.get("accumulate", 1)),
+        layer_decay=layer_decay)
 
+    ema_decay = float(cfg.get("ema_decay", 0.0))
+    reweight_mode = cfg.model.get("multi_tasks_reweight")
+    prev_losses = None
+    if reweight_mode == "dwa":
+        import jax.numpy as jnp
+        from sm3det_tpu.models.detectors.trisource import REWEIGHT_LOSS_KEYS
+        prev_losses = jnp.zeros(len(REWEIGHT_LOSS_KEYS))
     state = TrainState(params=params, opt=init_fn(params),
-                       rng=jax.random.PRNGKey(seed + 1))
+                       rng=jax.random.PRNGKey(seed + 1),
+                       prev_losses=prev_losses,
+                       ema=params if ema_decay else None)
     start_iter = 0
     resume = args.resume_from or (
         find_latest_checkpoint(work_dir) if args.auto_resume else None)
@@ -161,8 +233,16 @@ def main():
         print(f"resumed from {resume} at iter {start_iter}")
 
     step = build_train_step(model, init_fn, update_fn,
-                            source_ratio=tuple(ratio))
-    jstep = jax.jit(step, donate_argnums=(0,))
+                            source_ratio=tuple(ratio),
+                            multi_tasks_reweight=reweight_mode,
+                            ema_decay=ema_decay)
+    device_put = None
+    if mesh is not None:
+        from sm3det_tpu.train.train_state import shard_train_step
+        jstep, state, device_put = shard_train_step(
+            step, mesh, state, sample_batch)
+    else:
+        jstep = jax.jit(step, donate_argnums=(0,))
 
     # multi-val evaluation (the reference registers one EvalHook per
     # modality, mmrotate/apis/train.py:100-166)
@@ -219,6 +299,7 @@ def main():
     max_iters = args.max_iters or cfg.get("max_iters", 1000)
     run_training(
         jstep, state, data_iter, max_iters, work_dir,
+        device_put=device_put,
         log_interval=cfg.get("log_interval", 50),
         checkpoint_interval=cfg.get("checkpoint_interval"),
         eval_fns=eval_fns, eval_interval=eval_interval,
