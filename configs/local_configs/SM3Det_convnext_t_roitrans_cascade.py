@@ -1,0 +1,7 @@
+# SM3Det head-combo variant: roitrans_cascade
+# (parity: local_configs/SM3Det_convnext_t_roitrans_cascade.py — reference TriSource
+# H2stage-R2stage detector family)
+_base_ = ["../sm3det_convnext_t.py"]
+model = dict(type="TriSourceVariant", sar_stages=2,
+             rot_stages=2)
+work_dir = "./work_dirs/SM3Det_convnext_t_roitrans_cascade"

@@ -1,0 +1,9 @@
+# SAR specialist: van-s + GFL
+# (parity: local_configs/sardet50k_van_s_gfl.py)
+_base_ = ["sardet50k_convnext_t_gfl.py"]
+model = dict(
+    backbone=dict(_delete_=True, type="VAN_moe",
+                  embed_dims=[64, 128, 320, 512], depths=[2, 2, 4, 2],
+                  moe_block_inds_fc1=[[], [], [], []]),
+    neck=dict(in_channels=[64, 128, 320, 512]))
+work_dir = "./work_dirs/sardet50k_van_s_gfl"

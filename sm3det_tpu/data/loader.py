@@ -69,13 +69,24 @@ def run_pipeline(rng: np.random.RandomState, sample: Dict,
 
 
 class TriSourceLoader:
-    """Infinite iterator over composed [sar*k, rgb*m, ifr*n] batches."""
+    """Infinite iterator over composed [sar*k, rgb*m, ifr*n] batches.
+
+    Async by default: a producer thread assembles batches with a
+    thread-pool running the per-sample pipeline (the reference's
+    multi-worker DataLoader, ``mmrotate/datasets/builder.py:120-190``)
+    and keeps ``prefetch`` ready batches in a queue, so host-side IO +
+    augmentation overlaps the device step. ``num_workers=0`` restores
+    the synchronous path. Per-sample RNG is derived from
+    (seed, step, slot), so augmentations are deterministic and
+    independent of worker scheduling.
+    """
 
     def __init__(self, datasets: Sequence[BaseDetDataset],
                  source_ratio: Sequence[int],
                  pipelines: Sequence[PipelineCfg],
                  batches_per_step: int = 1,   # = data-parallel replicas
-                 seed: int = 0, host_id: int = 0, num_hosts: int = 1):
+                 seed: int = 0, host_id: int = 0, num_hosts: int = 1,
+                 num_workers: int = 4, prefetch: int = 2):
         assert len(datasets) == 3 and len(source_ratio) == 3
         self.datasets = list(datasets)
         self.ratio = list(source_ratio)
@@ -85,20 +96,67 @@ class TriSourceLoader:
             [len(d) for d in datasets],
             [r * batches_per_step for r in source_ratio],
             seed=seed, host_id=host_id, num_hosts=num_hosts)
-        self.rng = np.random.RandomState(seed * 7919 + host_id)
+        self.seed = seed * 7919 + host_id
+        self.num_workers = num_workers
+        self.prefetch = max(prefetch, 1)
+
+    def _load_one(self, src: int, idx: int, step: int, slot: int) -> Dict:
+        rng = np.random.RandomState(
+            (self.seed + step * 1000003 + slot * 7907) % (2 ** 31 - 1))
+        raw = self.datasets[src].get_raw(idx)
+        return run_pipeline(rng, raw, self.pipelines[src])
+
+    def _assemble(self, samples_by_src: List[List[Dict]]) -> Dict:
+        out = {}
+        for mi, mod in enumerate(MODALITIES):
+            samples = samples_by_src[mi]
+            out[mod] = {k: np.stack([s[k] for s in samples])
+                        for k in samples[0]}
+        return out
+
+    def _iter_sync(self) -> Iterator[Dict]:
+        for step, batch_indices in enumerate(self.sampler):
+            per_source: List[List[Dict]] = [[], [], []]
+            for slot, (src, idx) in enumerate(batch_indices):
+                per_source[src].append(
+                    self._load_one(src, idx, step, slot))
+            yield self._assemble(per_source)
 
     def __iter__(self) -> Iterator[Dict]:
-        for batch_indices in self.sampler:
-            per_source: List[List[Dict]] = [[], [], []]
-            for src, idx in batch_indices:
-                raw = self.datasets[src].get_raw(idx)
-                per_source[src].append(
-                    run_pipeline(self.rng, raw, self.pipelines[src]))
-            out = {}
-            for mi, mod in enumerate(MODALITIES):
-                samples = per_source[mi]
-                stacked = {
-                    k: np.stack([s[k] for s in samples])
-                    for k in samples[0]}
-                out[mod] = stacked
-            yield out
+        if self.num_workers <= 0:
+            yield from self._iter_sync()
+            return
+
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for step, batch_indices in enumerate(self.sampler):
+                    if stop.is_set():
+                        return
+                    futs = [(src, pool.submit(
+                        self._load_one, src, idx, step, slot))
+                        for slot, (src, idx) in enumerate(batch_indices)]
+                    per_source: List[List[Dict]] = [[], [], []]
+                    for src, f in futs:
+                        per_source[src].append(f.result())
+                    batch = self._assemble(per_source)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

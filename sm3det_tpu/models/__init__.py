@@ -33,6 +33,7 @@ from .dense_heads.reppoints_variants import (RotatedRepPointsHead,
 from .detectors.zoo_extra import (GRepPoints, RotatedATSS,
                                   RotatedFasterRCNN, RotatedRepPoints,
                                   SAMRepPoints)
+from .detectors.hbb_detectors import CascadeRCNN, FasterRCNN, RetinaNet
 
 for name, cls in [
         ("ConvNeXt_moe", ConvNeXtMoE),
@@ -82,7 +83,10 @@ for name, cls in [
         ("RotatedRepPoints", RotatedRepPoints),
         ("SAMRepPoints", SAMRepPoints),
         ("GRepPoints", GRepPoints),
-        ("RotatedATSS", RotatedATSS)]:
+        ("RotatedATSS", RotatedATSS),
+        ("FasterRCNN", FasterRCNN),
+        ("CascadeRCNN", CascadeRCNN),
+        ("RetinaNet", RetinaNet)]:
     DETECTORS.register_module(name, module=cls)
 
 __all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "build_from_cfg"]

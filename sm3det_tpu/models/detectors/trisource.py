@@ -134,6 +134,27 @@ def build_multi_input_backbone(b: Dict[str, Any], name: str = "backbone"):
                 tuple(i) for i in b.get("moe_block_inds_fc2",
                                         ((), (), (), ()))),
             **common)
+    if btype in ("SwinTransformer_moe", "Swin"):
+        from ..backbones.swin import SwinMoE
+        return SwinMoE(
+            arch=b.get("arch", "tiny"),
+            window_size=b.get("window_size", 7),
+            moe_block_inds=tuple(
+                tuple(i) for i in b.get("moe_block_inds",
+                                        ((), (), (), ()))),
+            **common)
+    if btype == "InternViTAdapter":
+        # BabelRS backbone (BabelRS_configs/BabelRS_20kstep.py:13)
+        from ..backbones.intern_vit import InternViTAdapter
+        return InternViTAdapter(
+            embed_dim=b.get("embed_dim", 1024),
+            depth=b.get("depth", 24),
+            num_heads=b.get("num_heads", 16),
+            patch_size=b.get("patch_size", 16),
+            interaction_indexes=tuple(
+                b.get("interaction_indexes", (5, 11, 17, 23))),
+            adapter_dim=b.get("adapter_dim", 256),
+            multi_input=True, name=name)
     raise ValueError(f"unknown backbone type {btype!r}")
 
 

@@ -33,3 +33,30 @@ def test_delete_semantics():
     from sm3det_tpu.utils.config import merge_dict
     out = merge_dict(base, new)
     assert out["model"]["backbone"] == {"c": 3}
+
+
+@pytest.mark.parametrize("path", sorted(
+    glob.glob(os.path.join(ROOT, "local_configs", "*.py"))))
+def test_local_config_builds_detector(path):
+    """Every experiment config resolves to a registered detector class
+    and instantiates the flax module (the reference's print_config-style
+    build-everything regression, SURVEY.md §4)."""
+    from sm3det_tpu.models import DETECTORS
+    from sm3det_tpu.models.detectors.trisource_variants import \
+        TriSourceVariant
+    cfg = Config.fromfile(path)
+    mc = cfg.model.to_dict()
+    mtype = mc.pop("type")
+    cls = DETECTORS.get(mtype)
+    assert cls is not None, f"{mtype} not registered"
+    mc["backbone"].pop("pretrained", None)
+    for key in ("moe_block_inds", "moe_block_inds_fc1"):
+        if key in mc["backbone"]:
+            mc["backbone"][key] = tuple(
+                tuple(x) for x in mc["backbone"][key])
+    if cls is TriSourceVariant:
+        m = cls(cfg=mc, sar_stages=mc.get("sar_stages", 1),
+                rot_stages=mc.get("rot_stages", 2))
+    else:
+        m = cls(cfg=mc)
+    assert m is not None

@@ -123,3 +123,22 @@ def test_convnext_expert_fanout():
     assert np.allclose(w1[0], w1[1])
     assert np.allclose(
         w1[0], sd["backbone.stages.2.0.ffn.pointwise_conv1.weight"].T)
+
+
+def test_loader_async_matches_sync_and_prefetches():
+    """The threaded prefetch loader must yield byte-identical batches to
+    the synchronous path (per-sample RNG is (seed, step, slot)-derived,
+    so worker scheduling cannot change augmentations)."""
+    import itertools
+    datasets = [SyntheticDetDataset(n=8, img_size=64,
+                                    box_type="hbb" if i == 0 else "obb",
+                                    seed=i) for i in range(3)]
+    pipes = [PipelineCfg(img_size=64, max_gt=6)] * 3
+    sync = TriSourceLoader(datasets, [2, 1, 1], pipes, seed=3,
+                           num_workers=0)
+    asyn = TriSourceLoader(datasets, [2, 1, 1], pipes, seed=3,
+                           num_workers=4, prefetch=2)
+    for b_s, b_a in itertools.islice(zip(iter(sync), iter(asyn)), 3):
+        for mod in MODALITIES:
+            for k in b_s[mod]:
+                np.testing.assert_array_equal(b_s[mod][k], b_a[mod][k])

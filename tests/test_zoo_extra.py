@@ -123,3 +123,22 @@ def test_spatial_border_loss_behavior():
     out = float(spatial_border_loss(outside_pts, quad, w))
     # 0.2 * dist((100,100),(20,20)) = 0.2*113.1
     assert abs(out - 0.2 * np.hypot(80, 80)) < 1e-3
+
+
+def test_hbb_detectors_losses():
+    """FasterRCNN / CascadeRCNN / RetinaNet (the sardet50k specialist
+    families) produce finite losses on a tiny hbb batch."""
+    from sm3det_tpu.models.detectors.hbb_detectors import (CascadeRCNN,
+                                                           FasterRCNN,
+                                                           RetinaNet)
+    b = _batch(np.random.RandomState(5))["sar"]
+    for cls, expect in [
+            (FasterRCNN, ("loss_cls", "loss_bbox", "loss_rpn_cls")),
+            (CascadeRCNN, ("s0_loss_cls", "s1_loss_cls", "s2_loss_cls")),
+            (RetinaNet, ("loss_cls", "loss_bbox"))]:
+        model = cls(cfg=CFG)
+        variables = jax.jit(lambda x: model.init(RNGS, x, train=True))(b)
+        losses = model.apply(variables, b, train=True, rngs=APPLY_RNGS)
+        for k in expect:
+            assert k in losses and np.isfinite(float(losses[k])), (
+                cls.__name__, k)

@@ -1,10 +1,20 @@
 #!/usr/bin/env python
-"""Evaluation CLI (parity with ``tools/test.py``: config, checkpoint,
---eval mAP / bbox, per-modality routing via --subdataset)."""
+"""Evaluation CLI (parity with reference ``tools/test.py:120-264``:
+config, checkpoint, --eval mAP, --format-only DOTA Task1 submission,
+per-modality routing via --subdataset).
+
+Real-data path: datasets are built from the config (like tools/train.py);
+inference runs BATCHED through one jitted graph; detections are rescaled
+back to original image coordinates (the reference's ``rescale=True``);
+--format-only groups by real patch ids (``__scale__x___y`` names) via
+``merge_det_by_patch_ids`` and writes Task1_<cls>.txt per real CLASSES
+(``mmrotate/datasets/dota.py:243-323``).
+"""
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -26,10 +36,40 @@ def parse_args():
     p.add_argument("--format-only", action="store_true",
                    help="write DOTA Task1 submission instead of eval")
     p.add_argument("--submission-dir", default="work_dirs/submission")
-    p.add_argument("--num-images", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--num-images", type=int, default=None,
+                   help="cap evaluated images (default: full set)")
     p.add_argument("--synthetic-data", action="store_true")
+    p.add_argument("--out", help="dump raw results + eval json here")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
+
+
+def build_dataset(cfg, sub: str, synthetic: bool):
+    """Build the eval dataset for one modality from config (mirrors
+    tools/train.py build_datasets; falls back to synthetic fixtures when
+    paths are absent)."""
+    from sm3det_tpu.data.datasets import (CocoDetDataset, DOTADataset,
+                                          SyntheticDetDataset)
+    # prefer the test/val split when configured (reference cfg.data.test)
+    section = cfg.data
+    for split in ("test", "val"):
+        if cfg.data.get(split) is not None and \
+                cfg.data[split].get(sub) is not None:
+            section = cfg.data[split]
+            break
+    dcfg = section[sub].to_dict()
+    dcfg.pop("max_gt", None)
+    dtype = dcfg.pop("type")
+    paths_exist = all(os.path.exists(v) for k, v in dcfg.items()
+                      if isinstance(v, str) and "/" in v)
+    if synthetic or not paths_exist:
+        return SyntheticDetDataset(
+            n=64, img_size=cfg.img_size, num_classes=cfg.num_classes,
+            box_type="hbb" if sub == "sar" else "obb", seed=7)
+    if dtype == "CocoDetDataset":
+        return CocoDetDataset(**dcfg)
+    return DOTADataset(**dcfg, version=cfg.angle_version)
 
 
 def main():
@@ -42,10 +82,9 @@ def main():
     import jax
     import numpy as np
     from sm3det_tpu.core.evaluation.eval_map import eval_rbbox_map
-    from sm3det_tpu.data.datasets import SyntheticDetDataset
-    from sm3det_tpu.data.loader import PipelineCfg, run_pipeline
+    from sm3det_tpu.data import transforms as T
+    from sm3det_tpu.data.loader import PipelineCfg
     from sm3det_tpu.models.detectors.trisource import TriSourceDetector
-    from sm3det_tpu.train.checkpoint import load_checkpoint
     from sm3det_tpu.train.train_state import init_trisource
 
     model_cfg = cfg.model.to_dict()
@@ -56,33 +95,43 @@ def main():
     model = TriSourceDetector(cfg=model_cfg)
 
     sub = args.subdataset
-    box_type = "hbb" if sub == "sar" else "obb"
-    ds = SyntheticDetDataset(
-        n=args.num_images, img_size=cfg.img_size,
-        num_classes=cfg.num_classes, box_type=box_type, seed=7)
-
+    ds = build_dataset(cfg, sub, args.synthetic_data)
+    classes = list(getattr(ds, "CLASSES", ())) or [
+        f"class_{c}" for c in range(cfg.num_classes)]
+    nc = cfg.num_classes
     pipe = PipelineCfg(img_size=cfg.img_size, version=cfg.angle_version)
-    rng = np.random.RandomState(0)
+    S = cfg.img_size
+
+    def preprocess(raw):
+        """Eval pipeline: keep-ratio resize + normalize + pad; returns
+        (img (S,S,3), scale) so dets can be mapped back to original
+        coords (reference rescale=True)."""
+        img = raw["img"]
+        h, w = img.shape[:2]
+        scale = min(S / h, S / w)
+        img, _, _, _ = T.resize(img, (S, S), None, None, keep_ratio=True)
+        img = T.normalize(img, pipe.mean, pipe.std)
+        img = T.pad_to(img, (S, S))
+        return img.astype(np.float32), scale
 
     # init / load params
-    sample = run_pipeline(rng, ds.get_raw(0), pipe, train=False)
-    img = sample["img"][None]
+    g0 = 8
+    img0, _ = preprocess(ds.get_raw(0))
+    dummy = img0[None]
     dummy_batch = {
-        "sar": {"img": img, "gt_bboxes": np.zeros((1, 8, 4), np.float32),
-                "gt_labels": np.zeros((1, 8), np.int32),
-                "gt_mask": np.ones((1, 8), bool)},
-        "rgb": {"img": img, "gt_obbs": np.zeros((1, 8, 5), np.float32),
-                "gt_labels": np.zeros((1, 8), np.int32),
-                "gt_mask": np.ones((1, 8), bool)},
-        "ifr": {"img": img, "gt_obbs": np.zeros((1, 8, 5), np.float32),
-                "gt_labels": np.zeros((1, 8), np.int32),
-                "gt_mask": np.ones((1, 8), bool)},
+        "sar": {"img": dummy, "gt_bboxes": np.zeros((1, g0, 4), np.float32),
+                "gt_labels": np.zeros((1, g0), np.int32),
+                "gt_mask": np.ones((1, g0), bool)},
+        "rgb": {"img": dummy, "gt_obbs": np.zeros((1, g0, 5), np.float32),
+                "gt_labels": np.zeros((1, g0), np.int32),
+                "gt_mask": np.ones((1, g0), bool)},
+        "ifr": {"img": dummy, "gt_obbs": np.zeros((1, g0, 5), np.float32),
+                "gt_labels": np.zeros((1, g0), np.int32),
+                "gt_mask": np.ones((1, g0), bool)},
     }
     params = init_trisource(jax.random.PRNGKey(0), model, dummy_batch,
                             source_ratio=(1, 1, 1))
     if args.checkpoint:
-        from sm3det_tpu.train.train_state import TrainState
-        # restore params-only
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(os.path.abspath(args.checkpoint))
@@ -91,53 +140,71 @@ def main():
 
     method = {"sar": "simple_test_sar", "rgb": "simple_test_rgb",
               "ifr": "simple_test_ifr"}[sub]
+    bs = max(args.batch_size, 1)
     test_fn = jax.jit(lambda v, x: model.apply(
-        v, x, (cfg.img_size, cfg.img_size), method=method))
+        v, x, (S, S), method=method))
 
-    det_results, annotations = [], []
+    n_total = len(ds) if args.num_images is None \
+        else min(args.num_images, len(ds))
+    det_results, annotations, img_ids = [], [], []
     t0 = time.perf_counter()
-    nc = cfg.num_classes
-    for i in range(len(ds)):
-        raw = ds.get_raw(i)
-        s = run_pipeline(rng, raw, pipe, train=False)
-        dets, labels, valid = jax.device_get(
-            test_fn({"params": params}, s["img"][None]))
-        dets, labels, valid = dets[0], labels[0], valid[0]
-        per_class = []
-        bd = 4 if sub == "sar" else 5
-        for c in range(nc):
-            sel = valid & (labels == c)
-            if sub == "sar":
-                arr = np.concatenate(
-                    [dets[sel][:, :4], dets[sel][:, 4:5]], -1)
-            else:
-                arr = dets[sel][:, :6]
-            per_class.append(arr)
-        det_results.append(per_class)
-        key = "hbbs" if sub == "sar" else "obbs"
-        annotations.append(dict(bboxes=raw[key], labels=raw["labels"]))
+    variables = {"params": params}
+    for start in range(0, n_total, bs):
+        idxs = list(range(start, min(start + bs, n_total)))
+        raws = [ds.get_raw(i) for i in idxs]
+        pre = [preprocess(r) for r in raws]
+        imgs = np.stack([p[0] for p in pre])
+        if len(idxs) < bs:  # pad the tail batch (static shapes)
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], bs - len(idxs), 0)])
+        dets_b, labels_b, valid_b = jax.device_get(
+            test_fn(variables, imgs))
+        for j, (raw, (_, scale)) in enumerate(zip(raws, pre)):
+            dets, labels, valid = dets_b[j], labels_b[j], valid_b[j]
+            per_class = []
+            for c in range(nc):
+                sel = valid & (labels == c)
+                if sub == "sar":
+                    arr = dets[sel][:, :5].copy()
+                    arr[:, :4] /= scale          # back to original coords
+                else:
+                    arr = dets[sel][:, :6].copy()
+                    arr[:, :4] /= scale
+                per_class.append(arr)
+            det_results.append(per_class)
+            key = "hbbs" if sub == "sar" else "obbs"
+            annotations.append(dict(bboxes=raw[key], labels=raw["labels"]))
+            img_ids.append(str(raw.get("img_id", len(img_ids))))
     dt = time.perf_counter() - t0
-    print(f"inference: {len(ds)} images in {dt:.1f}s "
-          f"({len(ds) / dt:.2f} img/s)")
+    print(f"inference: {n_total} images in {dt:.1f}s "
+          f"({n_total / dt:.2f} img/s, batch={bs})")
 
     if args.format_only and sub != "sar":
-        # DOTA Task1 submission path (dota.py:243-323 parity):
-        # patch-id merge + per-class txt + zip
+        # DOTA Task1 submission (dota.py:243-323): real patch ids carry
+        # the '__scale__x___y' suffix; merge translates + NMS-merges per
+        # base image, then per-class txt + zip with real class names
         from sm3det_tpu.core.patch.split_merge import (
             merge_det_by_patch_ids, write_dota_submission)
-        patch_ids = [str(i) for i in range(len(det_results))]
-        merged = merge_det_by_patch_ids(
-            patch_ids, det_results, nc)
-        class_names = [f"class_{c}" for c in range(nc)]
+        merged = merge_det_by_patch_ids(img_ids, det_results, nc)
         zip_path = write_dota_submission(
-            merged, class_names, args.submission_dir,
+            merged, classes[:nc], args.submission_dir,
             version=cfg.angle_version)
-        print(f"submission written: {zip_path}")
+        print(f"submission written: {zip_path} "
+              f"({len(merged)} merged images)")
         return
 
     res = eval_rbbox_map(det_results, annotations,
                          box_dim=4 if sub == "sar" else 5)
     print(res)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"eval": {k: float(v) if np.isscalar(v) else v
+                                for k, v in res.items()
+                                if np.isscalar(v)},
+                       "num_images": n_total,
+                       "img_per_s": n_total / dt}, f, indent=1)
+        print(f"eval dumped to {args.out}")
 
 
 if __name__ == "__main__":
