@@ -23,6 +23,18 @@ import jax.numpy as jnp
 
 from .rotated_iou import box_iou_rotated_chunked
 
+
+def _pairwise_rotated_iou(boxes1, boxes2, row_chunk: int = 256):
+    """Pairwise rotated IoU, dispatched to the tiled Pallas TPU kernel on
+    TPU backends (1.6x the jnp chunked path at N=2000 on-chip; see
+    tools/profile_micro.py) and the jnp path elsewhere. Both implement the
+    same Green's-theorem interval clipping; parity is asserted in
+    tests/test_pallas_kernels.py."""
+    if jax.default_backend() == "tpu":
+        from .pallas.rotated_iou_kernel import box_iou_rotated_pallas
+        return box_iou_rotated_pallas(boxes1, boxes2)
+    return box_iou_rotated_chunked(boxes1, boxes2, row_chunk=row_chunk)
+
 __all__ = [
     "bbox_overlaps",
     "greedy_keep",
@@ -63,21 +75,11 @@ def bbox_overlaps(boxes1, boxes2, mode: str = "iou", aligned: bool = False,
     return inter / jnp.maximum(union, eps)
 
 
-def greedy_keep(sup: jnp.ndarray, eligible: jnp.ndarray) -> jnp.ndarray:
-    """Greedy-NMS keep mask given a score-ordered suppression matrix.
-
-    Args:
-        sup: (N, N) bool, ``sup[j, i]`` True if box j (higher score)
-            suppresses box i. Only the strict upper triangle (j < i) is used.
-        eligible: (N,) bool, candidates that may be kept at all.
-
-    Returns:
-        (N,) bool keep mask identical to sequential greedy NMS.
-    """
-    n = sup.shape[0]
-    tri = jnp.tril(jnp.ones((n, n), bool), k=-1).T  # [j, i] True iff j < i
-    sup = sup & tri
-    supf = sup.astype(jnp.float32)
+def _fixpoint_keep(supf: jnp.ndarray, eligible: jnp.ndarray) -> jnp.ndarray:
+    """Fixpoint resolution of greedy keep on a pre-masked (strictly upper
+    triangular, f32) suppression matrix. After sweep ``t`` all prefix
+    decisions ``i <= t`` are exact; converges in a handful of sweeps."""
+    n = supf.shape[0]
 
     def cond(state):
         keep, prev, it = state
@@ -90,10 +92,58 @@ def greedy_keep(sup: jnp.ndarray, eligible: jnp.ndarray) -> jnp.ndarray:
         new_keep = eligible & ~suppressed
         return new_keep, keep, it + 1
 
-    keep0 = eligible
     keep, _, _ = jax.lax.while_loop(
-        cond, body, (keep0, jnp.zeros_like(keep0), 0))
+        cond, body, (eligible, jnp.zeros_like(eligible), 0))
     return keep
+
+
+def greedy_keep(sup: jnp.ndarray, eligible: jnp.ndarray,
+                block: int = 256) -> jnp.ndarray:
+    """Greedy-NMS keep mask given a score-ordered suppression matrix.
+
+    Blocked-exact algorithm: score-ordered blocks of ``block`` rows are
+    resolved sequentially (``lax.scan``); within a block the keep decisions
+    come from a small fixpoint iteration, then ONE (block, N) masked matvec
+    propagates the block's suppression to all later boxes. This reads the
+    suppression matrix exactly once (vs. once per sweep for a global
+    fixpoint — 4.3 ms -> sub-ms at N=2000 on TPU, tools/profile_micro.py)
+    and is exactly equal to sequential greedy NMS
+    (``mmcv/mmcv/ops/csrc/common/box_iou_rotated_utils.hpp`` semantics).
+
+    Args:
+        sup: (N, N) bool, ``sup[j, i]`` True if box j (higher score)
+            suppresses box i. Only the strict upper triangle (j < i) is used.
+        eligible: (N,) bool, candidates that may be kept at all.
+
+    Returns:
+        (N,) bool keep mask identical to sequential greedy NMS.
+    """
+    n = sup.shape[0]
+    tri = jnp.tril(jnp.ones((n, n), bool), k=-1).T  # [j, i] True iff j < i
+    supf = (sup & tri).astype(jnp.float32)
+    if n <= block:
+        return _fixpoint_keep(supf, eligible)
+
+    pad = (-n) % block
+    m = n + pad
+    if pad:
+        supf = jnp.pad(supf, ((0, pad), (0, pad)))
+        eligible = jnp.pad(eligible, (0, pad))
+    nb = m // block
+
+    def body(alive, b):
+        row0 = b * block
+        rows = jax.lax.dynamic_slice(supf, (row0, 0), (block, m))
+        sub = jax.lax.dynamic_slice(rows, (0, row0), (block, block))
+        elig_b = jax.lax.dynamic_slice(alive, (row0,), (block,))
+        keep_b = _fixpoint_keep(sub, elig_b)
+        # strict-upper-tri masking means this only clears later columns
+        suppressed = (keep_b.astype(jnp.float32) @ rows) > 0.5
+        return alive & ~suppressed, keep_b
+
+    _, keeps = jax.lax.scan(body, eligible,
+                            jnp.arange(nb, dtype=jnp.int32))
+    return keeps.reshape(m)[:n]
 
 
 def _finalize(boxes_sorted, scores_sorted, order, keep, max_out):
@@ -171,7 +221,7 @@ def nms_rotated(boxes, scores, iou_threshold: float, max_out: int,
     boxes_s = boxes[order]
     scores_s = scores[order]
     eligible = scores_s > score_thr
-    iou = box_iou_rotated_chunked(boxes_s, boxes_s, row_chunk=row_chunk)
+    iou = _pairwise_rotated_iou(boxes_s, boxes_s, row_chunk=row_chunk)
     keep = greedy_keep(iou > iou_threshold, eligible)
     ob, os, oi, ov = _finalize(boxes_s, scores_s, order, keep, max_out)
     dets = jnp.concatenate([ob, os[:, None]], axis=-1)

@@ -20,3 +20,78 @@ def test_pallas_iou_matches_oracle():
     ref = np.asarray(box_iou_rotated(b1, b2))
     assert got.shape == (n, m)
     assert np.abs(got - ref).max() < 1e-3
+
+
+def test_fused_roi_align_matches_exact_path():
+    """The fused DMA+MXU align must match the exact gather path when both
+    use the fused path's (extent-clamped) level routing."""
+    import jax.numpy as jnp
+
+    from sm3det_tpu.ops.pallas.roi_align_kernel import (
+        compute_patch_size, roi_align_rotated_pyramid_fused, route_levels)
+    from sm3det_tpu.ops.roi_align_rotated import roi_align_rotated_pyramid
+
+    rng = np.random.RandomState(0)
+    bsz, c = 2, 64
+    strides = (4, 8, 16, 32)
+    feats = [jnp.asarray(rng.rand(bsz, 256 // s, 256 // s, c)
+                         .astype(np.float32)) for s in strides]
+    n = 64
+    rois = jnp.asarray(np.stack([
+        rng.randint(0, bsz, n).astype(np.float32),
+        rng.uniform(30, 220, n), rng.uniform(30, 220, n),
+        rng.uniform(16, 140, n), rng.uniform(8, 140, n),
+        rng.uniform(-1.5, 1.5, n)], -1).astype(np.float32))
+
+    patch = compute_patch_size([f.shape[1] for f in feats],
+                               [f.shape[2] for f in feats])
+    lvls = route_levels(rois, patch, strides, 56, len(strides))
+    exact = np.asarray(roi_align_rotated_pyramid(feats, rois, lvls, 7))
+    fused = np.asarray(roi_align_rotated_pyramid_fused(
+        feats, rois, 7, interpret=True))
+    rel = np.abs(exact - fused).max() / (np.abs(exact).max() + 1e-9)
+    assert rel < 1e-4, rel
+
+
+def test_fused_roi_align_extent_clamp_only_moves_oversized():
+    """Moderate boxes keep the reference's sqrt-area level; only boxes
+    whose diagonal overflows the patch move coarser."""
+    import jax.numpy as jnp
+
+    from sm3det_tpu.ops.pallas.roi_align_kernel import route_levels
+
+    strides = (4, 8, 16, 32)
+    patch = 40   # 800x800 bench sizing
+    rois = jnp.asarray(np.array([
+        # moderate box: sqrt-area rule wins
+        [0, 400, 400, 100, 80, 0.3],
+        # ultra-elongated bridge: diag 600 >> (40-3)*4 -> clamped coarser
+        [0, 400, 400, 600, 12, 0.0],
+    ], np.float32))
+    lvls = np.asarray(route_levels(rois, patch, strides, 56, 4))
+    assert lvls[0] == 0                      # sqrt(8000)=89 < 112
+    assert lvls[1] >= 2                      # extent-clamped upward
+
+
+def test_blocked_greedy_keep_matches_sequential_above_block():
+    """N > block exercises the lax.scan blocked path."""
+    from sm3det_tpu.ops.nms import bbox_overlaps, nms
+
+    rng = np.random.RandomState(3)
+    n = 700   # > 2 blocks of 256
+    boxes = rng.uniform(0, 120, (n, 2)).astype(np.float32)
+    wh = rng.uniform(10, 50, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([boxes, boxes + wh], -1)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    iou = np.asarray(bbox_overlaps(boxes, boxes))
+
+    order = np.argsort(-scores)
+    keep, suppressed = [], np.zeros(n, bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        suppressed |= iou[i] > 0.5
+    _, idx, valid = nms(boxes, scores, 0.5, max_out=n)
+    got = np.asarray(idx)[np.asarray(valid)].tolist()
+    assert got == keep
