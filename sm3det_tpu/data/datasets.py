@@ -332,3 +332,83 @@ def _imread(path: str) -> np.ndarray:
     except ImportError as e:  # pragma: no cover
         raise RuntimeError(
             "no image backend available (PIL missing)") from e
+
+
+# ---------------------------------------------------------------------------
+# dataset wrappers (``mmrotate/datasets/builder.py:36`` -> mmdet
+# ``datasets/dataset_wrappers.py``: ConcatDataset / RepeatDataset /
+# ClassBalancedDataset). Same protocol as BaseDetDataset so they compose
+# with the samplers/loaders transparently.
+# ---------------------------------------------------------------------------
+
+
+class ConcatDataset(BaseDetDataset):
+    """Concatenation of datasets with identical CLASSES
+    (mmdet ``ConcatDataset``): indices map to (dataset, local index) by
+    cumulative length."""
+
+    def __init__(self, datasets):
+        assert datasets, "empty ConcatDataset"
+        self.datasets = list(datasets)
+        self.CLASSES = self.datasets[0].CLASSES
+        self.box_type = self.datasets[0].box_type
+        self._cum = np.cumsum([len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._cum[-1])
+
+    def get_raw(self, idx: int) -> Dict:
+        di = int(np.searchsorted(self._cum, idx, side="right"))
+        local = idx - (0 if di == 0 else int(self._cum[di - 1]))
+        return self.datasets[di].get_raw(local)
+
+
+class RepeatDataset(BaseDetDataset):
+    """Repeat a dataset ``times`` times (mmdet ``RepeatDataset``) — an
+    epoch-lengthening trick for small datasets."""
+
+    def __init__(self, dataset, times: int):
+        self.dataset = dataset
+        self.times = int(times)
+        self.CLASSES = dataset.CLASSES
+        self.box_type = dataset.box_type
+
+    def __len__(self):
+        return len(self.dataset) * self.times
+
+    def get_raw(self, idx: int) -> Dict:
+        return self.dataset.get_raw(idx % len(self.dataset))
+
+
+class ClassBalancedDataset(BaseDetDataset):
+    """Category-frequency rebalancing (mmdet ``ClassBalancedDataset``,
+    LVIS recipe): image i is repeated ``ceil(max_c 1[c in i] *
+    r(c))`` times where ``r(c) = max(1, sqrt(oversample_thr / f(c)))``
+    and ``f(c)`` is the fraction of images containing class c."""
+
+    def __init__(self, dataset, oversample_thr: float = 1e-3):
+        self.dataset = dataset
+        self.CLASSES = dataset.CLASSES
+        self.box_type = dataset.box_type
+        n = len(dataset)
+        cat_in_img = []
+        counts = {}
+        for i in range(n):
+            raw = dataset.get_raw(i)
+            cats = set(int(c) for c in np.asarray(raw["labels"]).ravel())
+            cat_in_img.append(cats)
+            for c in cats:
+                counts[c] = counts.get(c, 0) + 1
+        freqs = {c: v / max(n, 1) for c, v in counts.items()}
+        ratios = {c: max(1.0, np.sqrt(oversample_thr / max(f, 1e-12)))
+                  for c, f in freqs.items()}
+        self._indices = []
+        for i, cats in enumerate(cat_in_img):
+            r = max([ratios[c] for c in cats], default=1.0)
+            self._indices.extend([i] * int(np.ceil(r)))
+
+    def __len__(self):
+        return len(self._indices)
+
+    def get_raw(self, idx: int) -> Dict:
+        return self.dataset.get_raw(self._indices[idx])

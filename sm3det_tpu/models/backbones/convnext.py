@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..layers import DropPath, GRN
+from ..layers import DropPath, GRN, gelu as _policy_gelu
 from ..moe import MoELayer
 
 ARCH_SETTINGS = {
@@ -103,7 +103,7 @@ class ConvNeXtBlock(nn.Module):
             x = y.reshape(b, h, w, c)
         else:
             x = nn.Dense(hidden, name="pwconv1")(x)
-            x = nn.gelu(x, approximate=False)
+            x = _policy_gelu(x)
             if self.use_grn:
                 x = GRN(hidden, name="grn")(x)
             x = nn.Dense(self.dim, name="pwconv2")(x)

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..layers import gelu as _policy_gelu
+
 from ...ops.ms_deform_attn import ms_deform_attn
 
 
@@ -81,7 +83,7 @@ class ViTBlock(nn.Module):
 
         y = norm(self.dim, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = _policy_gelu(y)
         y = nn.Dense(self.dim, name="fc2")(y)
         return x + ls2 * y
 

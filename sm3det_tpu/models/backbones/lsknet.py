@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..layers import DropPath
+from ..layers import DropPath, gelu as _policy_gelu
 from ..moe import MoELayer
 
 
@@ -56,7 +56,7 @@ class LSKAttention(nn.Module):
     def __call__(self, x):
         shortcut = x
         x = nn.Conv(self.dim, (1, 1), name="proj_1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = _policy_gelu(x)
         x = LSKBlock(self.dim, name="spatial_gating_unit")(x)
         x = nn.Conv(self.dim, (1, 1), name="proj_2")(x)
         return x + shortcut
@@ -94,7 +94,7 @@ class ConvMlp(nn.Module):
             x = nn.Conv(self.hidden, (1, 1), name="fc1")(x)
         x = nn.Conv(self.hidden, (3, 3), padding=1,
                     feature_group_count=self.hidden, name="dwconv")(x)
-        x = nn.gelu(x, approximate=False)
+        x = _policy_gelu(x)
         if self.moe_fc2 is not None:
             y, l2 = run_moe(x.reshape(-1, self.hidden), self.moe_fc2,
                             self.hidden, self.dim, "fc2")

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..layers import DropPath
+from ..layers import DropPath, gelu as _policy_gelu
 from ..moe import MoELayer
 
 ARCHS = {
@@ -162,7 +162,7 @@ class SwinBlock(nn.Module):
             y = y2.reshape(b, h, w, c)
         else:
             y = nn.Dense(hidden, name="fc1")(y)
-            y = nn.gelu(y, approximate=False)
+            y = _policy_gelu(y)
             y = nn.Dense(self.dim, name="fc2")(y)
         x = x + dp(y, deterministic=not train)
         return x, aux

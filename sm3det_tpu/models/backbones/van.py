@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..layers import DropPath
+from ..layers import DropPath, gelu as _policy_gelu
 from .lsknet import ConvMlp
 
 
@@ -41,7 +41,7 @@ class VANAttention(nn.Module):
     def __call__(self, x):
         shortcut = x
         x = nn.Conv(self.dim, (1, 1), name="proj_1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = _policy_gelu(x)
         x = LKA(self.dim, name="spatial_gating_unit")(x)
         x = nn.Conv(self.dim, (1, 1), name="proj_2")(x)
         return x + shortcut

@@ -216,7 +216,8 @@ class R3Det(nn.Module):
             def refine_loss(cls_s, reg_s, anchors_img, gts, labels, mask):
                 from ...core.bbox.assigners import max_iou_assign
                 from ...ops.rotated_iou import box_iou_rotated_chunked
-                from ..losses import sigmoid_focal_loss, smooth_l1_loss
+                from ..losses import (kfiou_loss, sigmoid_focal_loss,
+                                      smooth_l1_loss)
                 ious = box_iou_rotated_chunked(anchors_img, gts)
                 ious = jnp.where(mask[None, :], ious, -1.0)
                 assigned = max_iou_assign(
@@ -231,10 +232,20 @@ class R3Det(nn.Module):
                     weight=(assigned >= 0).astype(jnp.float32),
                     avg_factor=1.0)
                 targets = coder.encode(anchors_img, gts[gt_idx])
-                l_reg = smooth_l1_loss(
-                    reg_s, targets, beta=0.11,
-                    weight=pos[:, None].astype(jnp.float32),
-                    avg_factor=1.0)
+                if c.get("refine_reg_loss", "smooth_l1") == "kfiou":
+                    # KFIoU refine-head variants
+                    # (``kfiou_odm_refine_head.py`` for S2ANet,
+                    # ``kfiou_rotate_retina_refine_head.py`` for R3Det):
+                    # same head, loss_bbox swapped to KFIoULoss
+                    decoded = coder.decode(anchors_img, reg_s)
+                    l_reg = kfiou_loss(
+                        reg_s, targets, decoded, gts[gt_idx],
+                        weight=pos.astype(jnp.float32), avg_factor=1.0)
+                else:
+                    l_reg = smooth_l1_loss(
+                        reg_s, targets, beta=0.11,
+                        weight=pos[:, None].astype(jnp.float32),
+                        avg_factor=1.0)
                 return l_cls, l_reg, jnp.sum(pos)
 
             flat_cls = jnp.concatenate(

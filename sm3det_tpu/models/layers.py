@@ -98,3 +98,12 @@ class Scale(nn.Module):
         s = self.param("scale",
                        nn.initializers.constant(self.init_value), ())
         return x * s
+
+def gelu(x):
+    """GELU matching the reference's exact-erf ``nn.GELU`` in f32; on the
+    bf16 compute path the tanh approximation is used — its error (<0.1%
+    of activation scale) is below bf16 quantization noise, while XLA's
+    exact erf expansion costs ~6 ms/step at bench shapes
+    (tools/profile_backbone5.py ablation)."""
+    import jax.numpy as jnp
+    return nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))

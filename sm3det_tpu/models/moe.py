@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import GRN
+from .layers import GRN, gelu as _policy_gelu
 
 
 def cv_squared(x, eps: float = 1e-10):
@@ -111,7 +111,8 @@ class ExpertFFN(nn.Module):
         del scale1
         y = jnp.einsum("ecd,edh->ech", x, w1,
                        preferred_element_type=jnp.float32) + b1[:, None]
-        y = nn.gelu(y, approximate=False)
+        # f32 matmul accumulation; activation at the compute dtype
+        y = _policy_gelu(y.astype(x.dtype))
         if self.use_grn:
             # per-token GRN over channel only reduces to identity-ish for
             # 1D tokens; ConvNeXt-V2 GRN operates on spatial dims, applied
@@ -209,16 +210,27 @@ class MoELayer(nn.Module):
         aux = (cv_squared(importance) + cv_squared(load)) * self.loss_coef
 
         # ---- capacity-bucketed dispatch ------------------------------------
+        # Sort-based, scatter-free (TPU: XLA scatter-add is the dominant
+        # cost of the naive formulation — 7.4 ms/layer at bench sizes,
+        # tools/profile_backbone3.py). A stable argsort by expert id
+        # yields each (token, choice)'s rank; rank - expert_start is its
+        # position in the expert's bucket, so the (E, capacity) buffer is
+        # ONE gather and the combine is a (N, k, d) reshape-sum.
+        # Drop semantics identical to the cumsum formulation (earlier
+        # flat index -> earlier position; overflow dropped).
         capacity = int(np.ceil(n * k / e * self.capacity_factor))
         capacity = max(capacity, 4)
+        m = n * k
 
         flat_expert = top_k_idx.reshape(-1)                  # (N*k,)
         flat_gate = top_k_gates.reshape(-1)
-        token_of = jnp.repeat(jnp.arange(n), k)
 
-        onehot = jax.nn.one_hot(flat_expert, e, dtype=jnp.int32)  # (N*k, E)
-        pos_in_expert = jnp.cumsum(onehot, axis=0) - onehot       # (N*k, E)
-        position = jnp.sum(pos_in_expert * onehot, axis=1)        # (N*k,)
+        counts = jnp.sum(jax.nn.one_hot(flat_expert, e, dtype=jnp.int32),
+                         axis=0)                              # (E,)
+        starts = jnp.cumsum(counts) - counts                  # (E,)
+        order = jnp.argsort(flat_expert, stable=True)         # (N*k,)
+        inv = jnp.argsort(order, stable=True)    # rank of each flat idx
+        position = inv - starts[flat_expert]                  # (N*k,)
         keep = position < capacity
         # capacity A/B instrument (SURVEY §7): fraction of (token, choice)
         # routes dropped by the static capacity — capture via
@@ -228,12 +240,12 @@ class MoELayer(nn.Module):
                  1.0 - jnp.mean(keep.astype(jnp.float32)))
 
         slot = flat_expert * capacity + jnp.minimum(
-            position, capacity - 1)                               # (N*k,)
-        buf = jnp.zeros((e * capacity, d), x.dtype)
-        src = jnp.where(keep[:, None], x[token_of], 0.0)
-        buf = buf.at[jnp.where(keep, slot, e * capacity - 1)].add(
-            jnp.where(keep[:, None], src, 0.0))
-        buf = buf.reshape(e, capacity, d)
+            position, capacity - 1)                           # (N*k,)
+        # slot (e, pos) holds the (pos+1)-th occurrence of expert e
+        rank_grid = starts[:, None] + jnp.arange(capacity)[None, :]
+        valid = jnp.arange(capacity)[None, :] < counts[:, None]
+        flat_idx = order[jnp.clip(rank_grid, 0, m - 1)]       # (E, cap)
+        buf = x[flat_idx // k] * valid[..., None].astype(x.dtype)
 
         if self.expert_kind == "linear":
             out_d = self.out_dim or d
@@ -246,5 +258,6 @@ class MoELayer(nn.Module):
 
         gathered = out_buf[slot]                                  # (N*k, o)
         weighted = gathered * (flat_gate * keep)[:, None]
-        y = jnp.zeros((n, out_d), out_buf.dtype).at[token_of].add(weighted)
+        # flat index i = token*k + choice, so the combine is a reshape-sum
+        y = weighted.reshape(n, k, out_d).sum(axis=1)
         return y.astype(x.dtype), aux

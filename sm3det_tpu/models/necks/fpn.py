@@ -116,3 +116,47 @@ class MultitaskFPN(nn.Module):
 
 class FPN(MultitaskFPN):
     """Plain FPN: same module with fixed call-time behavior."""
+
+
+class SimpleFPN(nn.Module):
+    """Simple Feature Pyramid for ViTDet-style single-scale backbones
+    (``mmrotate/models/necks/simpleFPN.py:22-109``): the single stride-16
+    ViT map is re-scaled to 4 levels (4x up via two stride-2 transposed
+    convs with LayerNorm+GELU between, 2x up via one transposed conv,
+    identity, and 2x max-pool), then per-level 1x1 lateral + 3x3 fpn
+    convs; extra outputs are stride-2 1x1 max-pools of the last level.
+
+    TPU notes: NHWC; transposed convs are ``nn.ConvTranspose`` feeding
+    the MXU; norm is LayerNorm over channels (the reference's default
+    norm for ViTDet necks).
+    """
+
+    backbone_channel: int = 768
+    in_channels: Sequence[int] = (192, 384, 768, 768)
+    out_channels: int = 256
+    num_outs: int = 5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """x: (B, H, W, backbone_channel) single stride-16 map."""
+        bc = self.backbone_channel
+        up1 = nn.ConvTranspose(bc // 2, (2, 2), strides=(2, 2),
+                               name="fpn1_up1")(x)
+        up1 = nn.LayerNorm(epsilon=1e-6, name="fpn1_norm")(up1)
+        up1 = nn.gelu(up1, approximate=False)
+        up1 = nn.ConvTranspose(bc // 4, (2, 2), strides=(2, 2),
+                               name="fpn1_up2")(up1)
+        up2 = nn.ConvTranspose(bc // 2, (2, 2), strides=(2, 2),
+                               name="fpn2_up")(x)
+        down4 = nn.max_pool(x, (2, 2), strides=(2, 2))
+        inputs = [up1, up2, x, down4]
+
+        outs = []
+        for i, feat in enumerate(inputs):
+            lat = nn.Conv(self.out_channels, (1, 1),
+                          name=f"lateral_conv{i}")(feat)
+            outs.append(nn.Conv(self.out_channels, (3, 3), padding=1,
+                                name=f"fpn_conv{i}")(lat))
+        while len(outs) < self.num_outs:
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+        return tuple(outs)
