@@ -412,3 +412,76 @@ class ClassBalancedDataset(BaseDetDataset):
 
     def get_raw(self, idx: int) -> Dict:
         return self.dataset.get_raw(self._indices[idx])
+
+
+class StructuredSyntheticDetDataset(BaseDetDataset):
+    """Learnable synthetic data: class-coded rotated rectangles PAINTED
+    into the image (vs. ``SyntheticDetDataset``'s pure noise, which only
+    supports memorization tests). Each class has a distinct fill
+    intensity pattern so a detector can generalize to held-out draws —
+    used by the convergence-evidence run (configs/convergence_synth.py)
+    standing in for the reference's real-dataset training loop
+    (``tools/train.py`` of SM3Det)."""
+
+    def __init__(self, n: int = 256, img_size: int = 256,
+                 num_classes: int = 4, box_type: str = "obb",
+                 max_objects: int = 6, seed: int = 0):
+        self.n = n
+        self.img_size = img_size
+        self.num_classes = num_classes
+        self.box_type = box_type
+        self.max_objects = max_objects
+        self.seed = seed
+        self.CLASSES = tuple(f"class_{i}" for i in range(num_classes))
+
+    def __len__(self):
+        return self.n
+
+    def _paint(self, img, cx, cy, w, h, theta, cls):
+        s = self.img_size
+        # bounding patch of the rotated rect
+        ext = int(np.ceil(np.hypot(w, h) / 2)) + 1
+        x0 = max(int(cx) - ext, 0)
+        y0 = max(int(cy) - ext, 0)
+        x1 = min(int(cx) + ext + 1, s)
+        y1 = min(int(cy) + ext + 1, s)
+        ys, xs = np.mgrid[y0:y1, x0:x1]
+        dx = xs - cx
+        dy = ys - cy
+        ct, st = np.cos(theta), np.sin(theta)
+        fx = ct * dx + st * dy
+        fy = -st * dx + ct * dy
+        inside = (np.abs(fx) <= w / 2) & (np.abs(fy) <= h / 2)
+        # class-coded appearance: distinct base color + stripe frequency
+        base = 60 + 150 * (cls + 1) / self.num_classes
+        stripes = 0.5 + 0.5 * np.sin(fx * (0.3 + 0.25 * cls))
+        for ch in range(3):
+            chan = img[y0:y1, x0:x1, ch]
+            val = base * (0.6 + 0.4 * stripes) * (0.5 + 0.5 * (ch == cls % 3))
+            chan[inside] = np.clip(val[inside], 0, 255)
+
+    def get_raw(self, idx: int) -> Dict:
+        rng = np.random.RandomState(self.seed * 1000003 + idx)
+        s = self.img_size
+        img = (rng.rand(s, s, 3) * 40 + 20).astype(np.float32)
+        k = rng.randint(1, self.max_objects + 1)
+        labels = rng.randint(0, self.num_classes, k).astype(np.int32)
+        boxes = []
+        for j in range(k):
+            cx = rng.uniform(0.18 * s, 0.82 * s)
+            cy = rng.uniform(0.18 * s, 0.82 * s)
+            w = rng.uniform(0.14 * s, 0.3 * s)
+            h = rng.uniform(0.07 * s, 0.15 * s)
+            theta = (rng.uniform(-np.pi / 2, np.pi / 2)
+                     if self.box_type == "obb" else 0.0)
+            self._paint(img, cx, cy, w, h, theta, int(labels[j]))
+            boxes.append([cx, cy, w, h, theta])
+        img = img.astype(np.uint8)
+        boxes = np.asarray(boxes, np.float32)
+        if self.box_type == "obb":
+            return dict(img=img, obbs=boxes, labels=labels,
+                        img_id=str(idx))
+        cx, cy, w, h = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+        hbbs = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                        -1).astype(np.float32)
+        return dict(img=img, hbbs=hbbs, labels=labels, img_id=str(idx))

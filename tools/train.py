@@ -68,17 +68,26 @@ def init_distributed():
           f"{jax.local_device_count()} local devices")
 
 
-def build_datasets(cfg, synthetic: bool):
+def build_datasets(cfg, synthetic: bool, seed_offset: int = 0):
+    """seed_offset > 0 builds held-out synthetic val splits (different
+    draws from the same distribution)."""
     from sm3det_tpu.data.datasets import (CocoDetDataset, DOTADataset,
+                                          StructuredSyntheticDetDataset,
                                           SyntheticDetDataset)
     out = []
-    for i, key in enumerate(("sar", "rgb", "ifr")):
+    for i0, key in enumerate(("sar", "rgb", "ifr")):
+        i = i0 + seed_offset
         dcfg = cfg.data[key].to_dict()
         dcfg.pop("max_gt", None)
         dtype = dcfg.pop("type")
         paths_exist = all(os.path.exists(v) for k, v in dcfg.items()
                           if isinstance(v, str) and ("/" in v))
-        if synthetic or not paths_exist:
+        if dtype == "StructuredSyntheticDetDataset":
+            ds = StructuredSyntheticDetDataset(
+                img_size=cfg.img_size, num_classes=cfg.num_classes,
+                box_type="hbb" if key == "sar" else "obb", seed=i,
+                **dcfg)
+        elif synthetic or not paths_exist:
             ds = SyntheticDetDataset(
                 n=64, img_size=cfg.img_size,
                 num_classes=cfg.num_classes,
@@ -205,7 +214,8 @@ def main():
         base_lr=cfg.optimizer.lr,
         weight_decay=cfg.optimizer.get("weight_decay", 0.0),
         betas=tuple(cfg.optimizer.get("betas", (0.9, 0.999))),
-        grad_clip=cfg.optimizer.get("grad_clip"),
+        grad_clip=(lambda gc: gc.get("max_norm") if hasattr(gc, "get")
+                   else gc)(cfg.optimizer.get("grad_clip")),
         step_iters=tuple(lr_cfg.get("step", [])),
         warmup_iters=lr_cfg.get("warmup_iters", 500),
         warmup_ratio=lr_cfg.get("warmup_ratio", 1.0 / 3),
@@ -254,7 +264,9 @@ def main():
 
         eval_interval = cfg.evaluation.get("interval")
         n_eval = int(cfg.evaluation.get("num_images", 16))
-        val_sets = build_datasets(cfg, args.synthetic_data)
+        val_sets = build_datasets(
+            cfg, args.synthetic_data,
+            seed_offset=int(cfg.evaluation.get("seed_offset", 0)))
 
         def make_eval(sub, ds, pipe):
             method = {"sar": "simple_test_sar", "rgb": "simple_test_rgb",
@@ -265,26 +277,40 @@ def main():
             box_dim = 4 if sub == "sar" else 5
             key = "hbbs" if sub == "sar" else "obbs"
 
+            eval_bs = int(cfg.evaluation.get("batch_size", 8))
+
             def run(state):
                 prng = np.random.RandomState(0)
                 det_results, annotations = [], []
-                for i in range(min(n_eval, len(ds))):
+                n = min(n_eval, len(ds))
+                raws, imgs = [], []
+                for i in range(n):
                     raw = ds.get_raw(i)
-                    s = run_pipeline(prng, raw, pipe, train=False)
-                    dets, labels, valid = jax.device_get(
-                        tfn(state.params, s["img"][None]))
-                    dets, labels, valid = dets[0], labels[0], valid[0]
-                    per_class = []
-                    for c in range(cfg.num_classes):
-                        sel = valid & (labels == c)
-                        per_class.append(
-                            dets[sel][:, :box_dim + 1]
-                            if sub != "sar" else np.concatenate(
-                                [dets[sel][:, :4], dets[sel][:, 4:5]],
-                                -1))
-                    det_results.append(per_class)
-                    annotations.append(
-                        dict(bboxes=raw[key], labels=raw["labels"]))
+                    raws.append(raw)
+                    imgs.append(run_pipeline(prng, raw, pipe,
+                                             train=False)["img"])
+                # batched jitted inference (pad the tail batch)
+                for b0 in range(0, n, eval_bs):
+                    chunk = imgs[b0:b0 + eval_bs]
+                    pad = eval_bs - len(chunk)
+                    x = np.stack(chunk + [chunk[-1]] * pad)
+                    dets_b, labels_b, valid_b = jax.device_get(
+                        tfn(state.params, x))
+                    for j in range(len(chunk)):
+                        dets, labels, valid = (dets_b[j], labels_b[j],
+                                               valid_b[j])
+                        per_class = []
+                        for c in range(cfg.num_classes):
+                            sel = valid & (labels == c)
+                            per_class.append(
+                                dets[sel][:, :box_dim + 1]
+                                if sub != "sar" else np.concatenate(
+                                    [dets[sel][:, :4], dets[sel][:, 4:5]],
+                                    -1))
+                        det_results.append(per_class)
+                        raw = raws[b0 + j]
+                        annotations.append(
+                            dict(bboxes=raw[key], labels=raw["labels"]))
                 return eval_rbbox_map(det_results, annotations,
                                       box_dim=box_dim, logger=None)
 
