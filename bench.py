@@ -89,35 +89,58 @@ def main():
             params)
     variables = {"params": params}
 
-    # per-path jits returning a tiny carry-chained summary: the carry adds
-    # a data dependency across calls and the final float() forces the whole
-    # chain — amortizing the ~30ms/call tunnel round-trip over 3*K calls.
-    # (a lax.scan over the joint step overwhelms the remote compiler.)
+    # per-path jits, each running its K frames inside ONE dispatch via
+    # lax.fori_loop (3 dispatches per measurement): host-side call
+    # chaining cannot amortize the tunnel's per-dispatch issue cost
+    # (~4-6 ms/call, measured with a no-op pallas kernel in
+    # tools/profile_roialign_steps.py), which would inflate the
+    # measurement by ~20%. A scan over the JOINT graph still overwhelms
+    # the remote compiler; per-path loops compile fine. Opt back into
+    # call chaining with SM3DET_BENCH_CHAINED=1.
+    chained = os.environ.get("SM3DET_BENCH_CHAINED") == "1"
+
     def summarize(out, carry):
         d, l, valid = out
         return carry + jnp.sum(d) + jnp.sum(valid)
 
-    sar_fn = jax.jit(lambda v, x, c: summarize(model.apply(
-        v, x, (IMG, IMG), method="simple_test_sar"), c))
-    rgb_fn = jax.jit(lambda v, x, c: summarize(model.apply(
-        v, x, (IMG, IMG), method="simple_test_rgb"), c))
-    ifr_fn = jax.jit(lambda v, x, c: summarize(model.apply(
-        v, x, (IMG, IMG), method="simple_test_ifr"), c))
+    def make_fn(method):
+        def one(v, x, c):
+            return summarize(model.apply(
+                v, x, (IMG, IMG), method=method), c)
+
+        if chained:
+            return jax.jit(one)
+
+        def looped(v, xs, c):
+            def body(i, carry):
+                return one(v, jax.lax.dynamic_index_in_dim(
+                    xs, i, keepdims=False), carry + i * 1e-12)
+            return jax.lax.fori_loop(0, K, body, c)
+        return jax.jit(looped)
+
+    sar_fn = make_fn("simple_test_sar")
+    rgb_fn = make_fn("simple_test_rgb")
+    ifr_fn = make_fn("simple_test_ifr")
 
     # K device-resident input frames per modality
-    sar_in = [jax.device_put(rng.rand(2, IMG, IMG, 3).astype(np.float32))
-              for _ in range(K)]
-    rgb_in = [jax.device_put(rng.rand(1, IMG, IMG, 3).astype(np.float32))
-              for _ in range(K)]
-    ifr_in = [jax.device_put(rng.rand(1, IMG, IMG, 3).astype(np.float32))
-              for _ in range(K)]
+    sar_in = jax.device_put(
+        rng.rand(K, 2, IMG, IMG, 3).astype(np.float32))
+    rgb_in = jax.device_put(
+        rng.rand(K, 1, IMG, IMG, 3).astype(np.float32))
+    ifr_in = jax.device_put(
+        rng.rand(K, 1, IMG, IMG, 3).astype(np.float32))
 
     def run_k():
         c = jnp.zeros(())
-        for i in range(K):
-            c = sar_fn(variables, sar_in[i], c)
-            c = rgb_fn(variables, rgb_in[i], c)
-            c = ifr_fn(variables, ifr_in[i], c)
+        if chained:
+            for i in range(K):
+                c = sar_fn(variables, sar_in[i], c)
+                c = rgb_fn(variables, rgb_in[i], c)
+                c = ifr_fn(variables, ifr_in[i], c)
+        else:
+            c = sar_fn(variables, sar_in, c)
+            c = rgb_fn(variables, rgb_in, c)
+            c = ifr_fn(variables, ifr_in, c)
         return float(c)
 
     log("compiling per-path inference...")
