@@ -98,6 +98,11 @@ def main():
     # the remote compiler; per-path loops compile fine. Opt back into
     # call chaining with SM3DET_BENCH_CHAINED=1.
     chained = os.environ.get("SM3DET_BENCH_CHAINED") == "1"
+    # joint mixed-batch path (one dispatch/iter, dual-stream batched
+    # post-processing) is the default; SM3DET_BENCH_JOINT=0 falls back
+    # to the three per-path dispatches.
+    joint = (os.environ.get("SM3DET_BENCH_JOINT", "1") == "1"
+             and not chained)
 
     def summarize(out, carry):
         d, l, valid = out
@@ -130,6 +135,20 @@ def main():
     ifr_in = jax.device_put(
         rng.rand(K, 1, IMG, IMG, 3).astype(np.float32))
 
+    @jax.jit
+    def joint_fn(v, sar_xs, rgb_xs, ifr_xs, c0):
+        def body(i, carry):
+            outs = model.apply(
+                v,
+                jax.lax.dynamic_index_in_dim(sar_xs, i, keepdims=False),
+                jax.lax.dynamic_index_in_dim(rgb_xs, i, keepdims=False),
+                jax.lax.dynamic_index_in_dim(ifr_xs, i, keepdims=False),
+                (IMG, IMG), method="simple_test_joint")
+            for out in outs:
+                carry = summarize(out, carry)
+            return carry + i * 1e-12
+        return jax.lax.fori_loop(0, K, body, c0)
+
     def run_k():
         c = jnp.zeros(())
         if chained:
@@ -137,6 +156,8 @@ def main():
                 c = sar_fn(variables, sar_in[i], c)
                 c = rgb_fn(variables, rgb_in[i], c)
                 c = ifr_fn(variables, ifr_in[i], c)
+        elif joint:
+            c = joint_fn(variables, sar_in, rgb_in, ifr_in, c)
         else:
             c = sar_fn(variables, sar_in, c)
             c = rgb_fn(variables, rgb_in, c)

@@ -121,7 +121,18 @@ def rpn_get_proposals(cls_scores, bbox_preds,
     anchors_l = anchor_generator.grid_anchors(featmap_sizes)
 
     def single_image(cls_list, reg_list):
-        boxes_all, scores_all, level_all = [], [], []
+        # mmdet's RPN nms is per-level (batched_nms over level ids):
+        # boxes of different levels never suppress each other, so the
+        # level-offset trick's (sum_l k_l)^2 suppression matrix is
+        # block-diagonal. Levels are padded to a common K and the NMS is
+        # vmapped over them — same per-level IoU work, but the
+        # sequential greedy-keep scan (the dominant cost; exact top-k is
+        # ~0.3 ms, tools/profile_topk.py) runs ONCE batched instead of
+        # once per level — then merged by score. Exactly equivalent to
+        # the level-offset formulation (tests/test_rpn_proposals.py).
+        boxes_lv, scores_lv = [], []
+        kmax = max(min(nms_pre, c.reshape(-1).shape[0])
+                   for c in cls_list)
         for lvl, (cls_s, reg_s) in enumerate(zip(cls_list, reg_list)):
             scores = jax.nn.sigmoid(cls_s.reshape(-1))
             deltas = reg_s.reshape(-1, 6)
@@ -132,20 +143,38 @@ def rpn_get_proposals(cls_scores, bbox_preds,
             # MidpointOffsetCoder.decode accepts max_shape but never
             # applies it (delta_midpointoffset_rbbox_coder.py:57, arg
             # unused in delta2bbox), so proposals are unclipped there too.
-            boxes_all.append(obbs)
-            scores_all.append(top_vals)
-            level_all.append(jnp.full((k,), lvl, jnp.int32))
-        obbs = jnp.concatenate(boxes_all, 0)
-        scores = jnp.concatenate(scores_all, 0)
-        levels = jnp.concatenate(level_all, 0)
-        hbbs = obb2xyxy(obbs)
-        # level-offset NMS (mmdet rpn nms is per-level via batched_nms)
-        max_coord = jnp.max(jnp.abs(hbbs)) + 1.0
-        shifted = hbbs + (levels.astype(hbbs.dtype) * 2 * max_coord)[:, None]
-        _, idx, valid = nms(shifted, scores, iou_thr, max_out=max_per_img)
+            if k < kmax:    # -inf padding is ineligible inside nms
+                top_vals = jnp.concatenate(
+                    [top_vals, jnp.full((kmax - k,), -jnp.inf,
+                                        top_vals.dtype)])
+                obbs = jnp.concatenate(
+                    [obbs, jnp.zeros((kmax - k, 5), obbs.dtype)])
+            boxes_lv.append(obbs)
+            scores_lv.append(top_vals)
+        obbs_lv = jnp.stack(boxes_lv)                  # (L, K, 5)
+        scores_lv = jnp.stack(scores_lv)               # (L, K)
+        keep_n = min(max_per_img, kmax)
+        _, idx, valid = jax.vmap(
+            lambda b, s: nms(obb2xyxy(b), s, iou_thr, max_out=keep_n,
+                             score_thr=-jnp.inf))(obbs_lv, scores_lv)
         safe = jnp.where(idx >= 0, idx, 0)
-        out_obbs = jnp.where(valid[:, None], obbs[safe], 0.0)
-        out_scores = jnp.where(valid, scores[safe], 0.0)
+        obbs = jnp.where(
+            valid[..., None],
+            jnp.take_along_axis(obbs_lv, safe[..., None], axis=1),
+            0.0).reshape(-1, 5)
+        scores = jnp.where(
+            valid, jnp.take_along_axis(scores_lv, safe, axis=1),
+            -jnp.inf).reshape(-1)
+        if scores.shape[0] < max_per_img:     # degenerate tiny configs
+            pad = max_per_img - scores.shape[0]
+            scores = jnp.concatenate(
+                [scores, jnp.full((pad,), -jnp.inf, scores.dtype)], 0)
+            obbs = jnp.concatenate(
+                [obbs, jnp.zeros((pad, 5), obbs.dtype)], 0)
+        top_s, top_i = jax.lax.top_k(scores, max_per_img)
+        valid = jnp.isfinite(top_s)
+        out_obbs = jnp.where(valid[:, None], obbs[top_i], 0.0)
+        out_scores = jnp.where(valid, top_s, 0.0)
         return out_obbs, out_scores, valid
 
     b = cls_scores[0].shape[0]

@@ -401,6 +401,92 @@ class TriSourceDetector(nn.Module):
             return self.simple_test_ifr(imgs, img_shape)
         raise ValueError(subdataset)
 
+    def simple_test_joint(self, sar_imgs, rgb_imgs, ifr_imgs,
+                          img_shape=(800, 800)):
+        """Mixed-batch joint inference: ONE backbone pass over all three
+        modalities and the two oriented streams' fixed-cost
+        post-processing (proposal NMS, pyramid RoI align, RCNN
+        decode/NMS) batched across rgb+ifr. Serving-path counterpart of
+        ``extract_feat_train`` (:221) — the reference evaluates
+        modalities in separate loader passes (trisource ``simple_test``
+        :371); on TPU one compiled mixed step keeps the chip saturated
+        and halves the sequential post-processing scans.
+
+        Returns ``(sar, rgb, ifr)`` triples of (dets, labels, valid),
+        identical to the per-modality ``simple_test_*`` outputs.
+        """
+        c = self.cfg
+        n_sar = sar_imgs.shape[0]
+        n_rgb = rgb_imgs.shape[0]
+        n_ifr = ifr_imgs.shape[0]
+        imgs = jnp.concatenate([sar_imgs, rgb_imgs, ifr_imgs], axis=0)
+        ids = jnp.asarray([0] * n_sar + [1] * n_rgb + [2] * n_ifr,
+                          jnp.int32)
+        feats, _ = self.backbone(self._cast_in(imgs), train=False,
+                                 dataset_ids=ids)
+        sar_x = self._neck_sar([f[:n_sar] for f in feats])
+        x = self._neck_rcnn([f[n_sar:] for f in feats])   # rgb+ifr batch
+
+        # ---- SAR / GFL branch (batched over its images) ----
+        cls_scores, bbox_preds = self.sar_bbox_head(sar_x)
+        cls_scores = [s.astype(jnp.float32) for s in cls_scores]
+        bbox_preds = [p.astype(jnp.float32) for p in bbox_preds]
+        gen = make_sar_anchor_generator(tuple(c["sar"]["strides"]))
+        sar_out = gfl_get_bboxes(
+            cls_scores, bbox_preds, gen, c["num_classes"], img_shape,
+            reg_max=c["sar"]["reg_max"],
+            strides=tuple(c["sar"]["strides"]),
+            nms_pre=c["sar"]["nms_pre"], score_thr=c["sar"]["score_thr"],
+            iou_thr=c["sar"]["nms_iou"],
+            max_per_img=c["sar"]["max_per_img"])
+
+        # ---- dual oriented R-CNN branch ----
+        version = c["angle_version"]
+        x_rgb = [f[:n_rgb] for f in x]
+        x_ifr = [f[n_rgb:] for f in x]
+        rgb_cls, rgb_reg = self.rgb_rpn_head(x_rgb)
+        ifr_cls, ifr_reg = self.ifr_rpn_head(x_ifr)
+        rpn_cls = [jnp.concatenate([a, b], 0).astype(jnp.float32)
+                   for a, b in zip(rgb_cls, ifr_cls)]
+        rpn_reg = [jnp.concatenate([a, b], 0).astype(jnp.float32)
+                   for a, b in zip(rgb_reg, ifr_reg)]
+        rpn_gen = make_rpn_anchor_generator(
+            tuple(c["rgb"]["rpn_strides"]))
+        rpn_coder = make_rpn_coder(version)
+        proposals, p_scores, p_valid = rpn_get_proposals(
+            rpn_cls, rpn_reg, rpn_gen, rpn_coder, img_shape=img_shape,
+            nms_pre=c["rgb"]["rpn_nms_pre"],
+            max_per_img=c["rgb"]["rpn_max"],
+            iou_thr=c["rgb"]["rpn_nms_iou"])
+        bsz, s = proposals.shape[:2]
+        batch_idx = jnp.repeat(
+            jnp.arange(bsz, dtype=jnp.float32), s)[:, None]
+        rois6 = jnp.concatenate(
+            [batch_idx, proposals.reshape(-1, 5)], axis=-1)
+        roi_feats = extract_rotated_roi_feats(x, rois6)   # ONE align
+        rgb_logits, rgb_rp = self.rgb_roi_head(
+            roi_feats[:n_rgb * s])
+        ifr_logits, ifr_rp = self.ifr_roi_head(
+            roi_feats[n_rgb * s:])
+        cls_logits = jnp.concatenate(
+            [rgb_logits.reshape(n_rgb, s, -1),
+             ifr_logits.reshape(n_ifr, s, -1)], 0).astype(jnp.float32)
+        reg_pred = jnp.concatenate(
+            [rgb_rp.reshape(n_rgb, s, -1),
+             ifr_rp.reshape(n_ifr, s, -1)], 0).astype(jnp.float32)
+        rcnn_coder = make_rcnn_coder(version)
+        dets, labels, valid = jax.vmap(
+            lambda cl, rp, pr, pv: roi_head_get_bboxes(
+                cl, rp, pr, pv, rcnn_coder, c["num_classes"],
+                img_shape=img_shape,
+                score_thr=c["rgb"]["rcnn_score_thr"],
+                iou_thr=c["rgb"]["rcnn_nms_iou"],
+                max_per_img=c["rgb"]["rcnn_max"])
+        )(cls_logits, reg_pred, proposals, p_valid)
+        rgb_out = (dets[:n_rgb], labels[:n_rgb], valid[:n_rgb])
+        ifr_out = (dets[n_rgb:], labels[n_rgb:], valid[n_rgb:])
+        return sar_out, rgb_out, ifr_out
+
     def aug_test(self, imgs, subdataset: str, img_shape=(800, 800)):
         """Test-time augmentation (reference ``aug_test`` :409): original
         + horizontal flip, flipped boxes mapped back, merged by re-scoring

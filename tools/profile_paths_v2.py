@@ -100,20 +100,26 @@ def main():
 
     runs = [
         ("feat 2img (backbone+neck)",
-         lambda x: model.apply(v, x, 0, method=feat_rcnn), x2),
+         lambda vv, x: model.apply(vv, x, 0, method=feat_rcnn), x2),
         ("feat 1img (backbone+neck)",
-         lambda x: model.apply(v, x, 1, method=feat_rcnn), x1),
+         lambda vv, x: model.apply(vv, x, 1, method=feat_rcnn), x1),
         ("sar full 2img",
-         lambda x: model.apply(v, x, (IMG, IMG),
-                               method="simple_test_sar"), x2),
+         lambda vv, x: model.apply(vv, x, (IMG, IMG),
+                                   method="simple_test_sar"), x2),
         ("rgb rpn-stage 1img",
-         lambda x: model.apply(v, x, 1, method=rpn_stage), x1),
+         lambda vv, x: model.apply(vv, x, 1, method=rpn_stage), x1),
         ("rgb full 1img",
-         lambda x: model.apply(v, x, (IMG, IMG),
-                               method="simple_test_rgb"), x1),
+         lambda vv, x: model.apply(vv, x, (IMG, IMG),
+                                   method="simple_test_rgb"), x1),
     ]
+
+    # params must be an ARGUMENT (a closed-over tree is inlined into the
+    # compile payload -> tunnel HTTP 413); perturb the image input only
+    def perturb(a, eps):
+        return (a[0], a[1] + eps * 1e-9)
+
     for name, fn, x in runs:
-        dt = device_time(fn, (x,), iters=8)
+        dt = device_time(fn, (v, x), iters=8, perturb=perturb)
         log(f"{name:34s} {dt:8.2f} ms")
 
 
