@@ -1,13 +1,15 @@
 """Pluggable file IO (``mmcv/mmcv/fileio`` capability, fresh minimal
-implementation): FileClient with disk/http backends + json/yaml/pickle
-handlers behind ``load``/``dump``."""
+implementation): FileClient with disk/http/memory backends +
+json/yaml/pickle handlers behind ``load``/``dump``, plus the
+``list_from_file``/``dict_from_file`` parsers datasets use
+(``mmcv/mmcv/fileio/parse.py``)."""
 
 from __future__ import annotations
 
 import json
 import os
 import pickle
-from typing import Any, Optional
+from typing import Any, Dict, List, Optional
 
 
 class DiskBackend:
@@ -41,26 +43,65 @@ class HTTPBackend:
         return True
 
 
-class FileClient:
-    """Backend selection by prefix (disk default, http(s)://)."""
+class MemoryBackend:
+    """In-process dict-backed store (test doubles / cached blobs —
+    stands in for the reference's memcached/lmdb backends,
+    ``mmcv/mmcv/fileio/file_client.py:379,440``)."""
 
-    _backends = {"disk": DiskBackend, "http": HTTPBackend}
+    _store: Dict[str, bytes] = {}
+
+    def get(self, path: str) -> bytes:
+        return self._store[path]
+
+    def get_text(self, path: str) -> str:
+        return self._store[path].decode()
+
+    def put(self, data: bytes, path: str):
+        self._store[path] = data
+
+    def exists(self, path: str) -> bool:
+        return path in self._store
+
+
+class FileClient:
+    """Backend selection by prefix (disk default, http(s)://,
+    memory://); third-party backends register via
+    ``register_backend`` (``file_client.py:518``)."""
+
+    _backends = {"disk": DiskBackend, "http": HTTPBackend,
+                 "memory": MemoryBackend}
 
     def __init__(self, backend: Optional[str] = None):
         self.backend_name = backend or "disk"
         self.backend = self._backends[self.backend_name]()
 
     @classmethod
+    def register_backend(cls, name: str, backend_cls):
+        cls._backends[name] = backend_cls
+
+    @classmethod
     def infer_client(cls, uri: str) -> "FileClient":
         if uri.startswith(("http://", "https://")):
             return cls("http")
+        if uri.startswith("memory://"):
+            return cls("memory")
         return cls("disk")
 
+    @staticmethod
+    def _strip(uri: str) -> str:
+        return uri[9:] if uri.startswith("memory://") else uri
+
     def get(self, path):
-        return self.backend.get(path)
+        return self.backend.get(self._strip(path))
 
     def get_text(self, path):
-        return self.backend.get_text(path)
+        return self.backend.get_text(self._strip(path))
+
+    def put(self, data: bytes, path: str):
+        self.backend.put(data, self._strip(path))
+
+    def exists(self, path) -> bool:
+        return self.backend.exists(self._strip(path))
 
 
 _HANDLERS = {
@@ -90,4 +131,35 @@ def load(path: str, file_format: Optional[str] = None) -> Any:
 def dump(obj: Any, path: str, file_format: Optional[str] = None):
     fmt = file_format or path.rsplit(".", 1)[-1]
     data = _HANDLERS[fmt][1](obj)
-    DiskBackend().put(data, path)
+    FileClient.infer_client(path).put(data, path)
+
+
+def list_from_file(filename: str, prefix: str = "", offset: int = 0,
+                   max_num: int = 0, encoding: str = "utf-8"
+                   ) -> List[str]:
+    """One stripped line per list item (``mmcv/mmcv/fileio/parse.py:8``:
+    DOTA/HRSC image-set files are read through this)."""
+    client = FileClient.infer_client(filename)
+    items = []
+    for cnt, line in enumerate(client.get(filename).decode(
+            encoding).splitlines()):
+        if cnt < offset:
+            continue
+        if max_num and len(items) >= max_num:
+            break
+        items.append(prefix + line.rstrip("\r\n"))
+    return items
+
+
+def dict_from_file(filename: str, key_type=str,
+                   encoding: str = "utf-8") -> Dict:
+    """First whitespace-split token is the key, remainder the value
+    (``mmcv/mmcv/fileio/parse.py:52``); a single value stays scalar."""
+    client = FileClient.infer_client(filename)
+    mapping = {}
+    for line in client.get(filename).decode(encoding).splitlines():
+        items = line.rstrip("\r\n").split()
+        assert len(items) >= 2
+        mapping[key_type(items[0])] = \
+            items[1] if len(items) == 2 else items[1:]
+    return mapping
