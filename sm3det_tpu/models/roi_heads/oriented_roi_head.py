@@ -67,13 +67,16 @@ def _roi_feats_fused_bwd(out_size, featmap_strides, sample_num,
                                [f.shape[2] for f in feats])
     lvls = route_levels(rois, patch, featmap_strides, finest_scale,
                         len(featmap_strides))
-    _, vjp = jax.vjp(
+    out_inner, vjp = jax.vjp(
         lambda f: roi_align_rotated_pyramid(
             list(f), rois, lvls, out_size,
             featmap_strides=featmap_strides, sample_num=sample_num),
         feats)
-    (gf,) = vjp(g.astype(feats[0].dtype))
-    return tuple(gf), jnp.zeros_like(rois)
+    # the exact path promotes bf16 feats to f32 (f32 bilinear weights);
+    # the cotangent must match ITS output dtype, not the feats dtype
+    (gf,) = vjp(g.astype(out_inner.dtype))
+    gf = tuple(a.astype(f.dtype) for a, f in zip(gf, feats))
+    return gf, jnp.zeros_like(rois)
 
 
 _roi_feats_fused.defvjp(_roi_feats_fused_fwd, _roi_feats_fused_bwd)

@@ -95,3 +95,31 @@ def test_blocked_greedy_keep_matches_sequential_above_block():
     _, idx, valid = nms(boxes, scores, 0.5, max_out=n)
     got = np.asarray(idx)[np.asarray(valid)].tolist()
     assert got == keep
+
+
+def test_fused_align_bwd_bf16_policy():
+    """Regression: bf16 compute policy + fused align custom VJP. The
+    exact inner path promotes bf16 feats to f32, so the cotangent must
+    be cast to the INNER output dtype (crashed with 'unexpected JAX
+    type ... got bfloat16 but expected float32' before the fix)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sm3det_tpu.models.roi_heads.oriented_roi_head import \
+        _roi_feats_fused_bwd
+
+    rng = np.random.RandomState(0)
+    feats = tuple(
+        jnp.asarray(rng.rand(1, 16 // s, 16 // s, 256)
+                    .astype(np.float32)).astype(jnp.bfloat16)
+        for s in (1, 2, 4, 8))
+    rois = jnp.asarray(np.array(
+        [[0, 8.0, 8.0, 6.0, 4.0, 0.3],
+         [0, 4.0, 4.0, 3.0, 2.0, -0.2]], np.float32))
+    g = jnp.ones((2, 7, 7, 256), jnp.bfloat16)
+    gf, groi = _roi_feats_fused_bwd(7, (1, 2, 4, 8), 2, 4,
+                                    (feats, rois), g)
+    assert all(a.dtype == f.dtype for a, f in zip(gf, feats))
+    assert all(bool(jnp.isfinite(a.astype(jnp.float32)).all())
+               for a in gf)
+    assert groi.shape == rois.shape
