@@ -31,6 +31,12 @@ def parse_args():
     p.add_argument("--resume-from")
     p.add_argument("--auto-resume", action="store_true")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--deterministic", action="store_true",
+                   help="bitwise-reproducible runs (reference "
+                        "tools/train.py --deterministic -> cudnn "
+                        "determinism; on TPU/XLA compiled graphs are "
+                        "already deterministic for a fixed seed — this "
+                        "pins the remaining source, matmul precision)")
     p.add_argument("--max-iters", type=int, default=None,
                    help="override max_iters (smoke runs)")
     p.add_argument("--synthetic-data", action="store_true",
@@ -125,6 +131,10 @@ def main():
                                               init_trisource)
 
     seed = args.seed if args.seed is not None else cfg.get("seed", 0)
+    if args.deterministic:
+        # fixed-seed XLA graphs are deterministic; pin the one knob that
+        # can vary numerics across runs/platform defaults
+        jax.config.update("jax_default_matmul_precision", "highest")
     model_cfg = cfg.model.to_dict()
     model_type = model_cfg.pop("type", "TriSourceDetector")
     pretrained = model_cfg["backbone"].pop("pretrained", None)
