@@ -197,17 +197,24 @@ class MoELayer(nn.Module):
         # apply() is called with mutable=['intermediates']
         self.sow("intermediates", "expert_ids", top_k_idx)
 
-        # dense gates matrix only for the aux loss (cheap: N x E)
-        gates = jnp.zeros((n, e), logits.dtype)
-        gates = gates.at[jnp.arange(n)[:, None], top_k_idx].set(top_k_gates)
-        importance = gates.sum(0)
-
-        if self.noisy_gating and k < e and train:
-            load = prob_in_top_k(
-                clean_logits, logits, noise_std, top_logits, k).sum(0)
+        if train:
+            # dense gates matrix only for the aux loss (N x E scatter)
+            gates = jnp.zeros((n, e), logits.dtype)
+            gates = gates.at[jnp.arange(n)[:, None],
+                             top_k_idx].set(top_k_gates)
+            importance = gates.sum(0)
+            if self.noisy_gating and k < e:
+                load = prob_in_top_k(
+                    clean_logits, logits, noise_std, top_logits, k).sum(0)
+            else:
+                load = (gates > 0).sum(0).astype(jnp.float32)
+            aux = (cv_squared(importance) + cv_squared(load)) * \
+                self.loss_coef
         else:
-            load = (gates > 0).sum(0).astype(jnp.float32)
-        aux = (cv_squared(importance) + cv_squared(load)) * self.loss_coef
+            # inference: the balance loss is unused — skip its scatter
+            # and reductions entirely (reference computes it
+            # unconditionally; the value is identical, just dead)
+            aux = jnp.zeros((), jnp.float32)
 
         # ---- capacity-bucketed dispatch ------------------------------------
         # Sort-based, scatter-free (TPU: XLA scatter-add is the dominant
@@ -257,7 +264,11 @@ class MoELayer(nn.Module):
         out_buf = out_buf.reshape(e * capacity, out_d)
 
         gathered = out_buf[slot]                                  # (N*k, o)
-        weighted = gathered * (flat_gate * keep)[:, None]
+        # combine in the compute dtype: an f32 gate vector would promote
+        # the whole (N*k, o) combine to f32 (2x memory traffic on the
+        # bf16 policy path)
+        weighted = gathered * (flat_gate * keep)[:, None].astype(
+            gathered.dtype)
         # flat index i = token*k + choice, so the combine is a reshape-sum
         y = weighted.reshape(n, k, out_d).sum(axis=1)
         return y.astype(x.dtype), aux
