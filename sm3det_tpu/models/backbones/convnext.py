@@ -22,8 +22,84 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ...ops.pallas.convnext_block_kernel import (fused_block_supported,
+                                                 fused_convnext_block,
+                                                 fused_dwconv_ln)
 from ..layers import DropPath, GRN, gelu as _policy_gelu
 from ..moe import MoELayer
+
+
+def layernorm_math(x, scale, bias, eps: float = 1e-6):
+    """Trailing-axis LayerNorm replicating ``flax.linen.LayerNorm``
+    exactly (f32 fast-variance stats, flax's promotion rules) so the
+    param-container block below is numerically identical to the
+    previous ``nn.LayerNorm`` call."""
+    xf = x.astype(jnp.promote_types(jnp.float32, x.dtype))
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        0.0, jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean)
+    y = (x - mean) * (jax.lax.rsqrt(var + eps) * scale) + bias
+    return y.astype(jnp.result_type(x.dtype, scale.dtype, bias.dtype))
+
+
+def _dwconv7(x, kernel, bias):
+    """7x7 depthwise conv, flax ``nn.Conv(feature_group_count=C)``
+    semantics (dtype promotion included)."""
+    dt = jnp.result_type(x.dtype, kernel.dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), kernel.astype(dt), window_strides=(1, 1),
+        padding=((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1])
+    return y + bias.astype(dt)
+
+
+def _dense(x, kernel, bias):
+    dt = jnp.result_type(x.dtype, kernel.dtype)
+    return jnp.dot(x.astype(dt), kernel.astype(dt)) + bias.astype(dt)
+
+
+class _ConvP(nn.Module):
+    """Parameter container mirroring ``nn.Conv``'s tree (kernel/bias)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       self.shape)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.shape[-1],))
+        return k, b
+
+
+class _LNP(nn.Module):
+    """Parameter container mirroring ``nn.LayerNorm`` (scale/bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class LayerNormOpt(nn.Module):
+    """``nn.LayerNorm`` drop-in (same param tree) using the lean
+    one-fusion LN math (measured 2x the flax module's multi-pass
+    lowering at bench shapes; the Pallas LN kernel measured slower
+    still — grid-step overhead beats the saved traffic at these sizes,
+    tools/profile_fused_block.py)."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, fused: bool = False):
+        del fused
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return layernorm_math(x, scale, bias, self.epsilon)
 
 ARCH_SETTINGS = {
     "atto": {"depths": [2, 2, 6, 2], "channels": [40, 80, 160, 320]},
@@ -83,12 +159,45 @@ class ConvNeXtBlock(nn.Module):
     def __call__(self, x, train: bool = False, dataset_ids=None):
         shortcut = x
         aux = None
-        x = nn.Conv(self.dim, (7, 7), padding=3,
-                    feature_group_count=self.dim, name="dwconv")(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        b, h, w, c = x.shape
         hidden = int(self.mlp_ratio * self.dim)
+
+        # params declared via containers (same tree/names/inits as the
+        # previous nn.Conv/nn.LayerNorm/nn.Dense calls) so both compute
+        # routes share them and checkpoints stay compatible
+        dwk, dwb = _ConvP((7, 7, 1, self.dim), name="dwconv")()
+        lns, lnb = _LNP(self.dim, name="norm")()
+        w1 = b1 = w2 = b2 = None
+        if self.moe is None:
+            w1, b1 = _ConvP((self.dim, hidden), name="pwconv1")()
+            w2, b2 = _ConvP((hidden, self.dim), name="pwconv2")()
+        gamma = None
+        if self.layer_scale_init_value > 0 and not self.use_grn:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,))
+
+        # bf16-only: the fused kernel's MXU partitioning differs from
+        # XLA's at f32 (both are bf16-pass decompositions, ~1e-3 apart);
+        # the f32 path keeps the XLA formulation as the exact oracle
+        fused = ((not train) and jax.default_backend() == "tpu"
+                 and x.dtype == jnp.bfloat16 and not self.use_grn)
+
+        if (fused and self.moe is None and not self.use_da
+                and gamma is not None
+                and fused_block_supported(h, w, c, hidden)):
+            # whole dense block in one Pallas pass (inference)
+            return fused_convnext_block(
+                x, dwk, dwb, lns, lnb, w1, b1, w2, b2, gamma), aux
+
+        if fused and fused_block_supported(h, w, c):
+            x = fused_dwconv_ln(x, dwk, dwb, lns, lnb)
+        else:
+            x = _dwconv7(x, dwk, dwb)
+            x = layernorm_math(x, lns, lnb)
+
         if self.moe is not None:
-            b, h, w, c = x.shape
             tokens = x.reshape(-1, c)
             y, aux = MoELayer(
                 dim=self.dim,
@@ -102,18 +211,14 @@ class ConvNeXtBlock(nn.Module):
                 name="ffn")(tokens, train=train)
             x = y.reshape(b, h, w, c)
         else:
-            x = nn.Dense(hidden, name="pwconv1")(x)
+            x = _dense(x, w1, b1)
             x = _policy_gelu(x)
             if self.use_grn:
                 x = GRN(hidden, name="grn")(x)
-            x = nn.Dense(self.dim, name="pwconv2")(x)
+            x = _dense(x, w2, b2)
         if self.use_da and dataset_ids is not None:
             x = DALayer(self.dim, name="da")(x, dataset_ids)
-        if self.layer_scale_init_value > 0 and not self.use_grn:
-            gamma = self.param(
-                "gamma",
-                nn.initializers.constant(self.layer_scale_init_value),
-                (self.dim,))
+        if gamma is not None:
             x = x * gamma
         x = shortcut + DropPath(self.drop_path_rate, name="drop_path")(
             x, deterministic=not train)
@@ -168,11 +273,13 @@ class ConvNeXtMoE(nn.Module):
         outs = []
         gate_losses = []
         block_idx = 0
+        fused_ln = not train
         for i, (depth, dim) in enumerate(zip(depths, channels)):
             if i == 0:
-                x = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(x)
+                x = LayerNormOpt(name="stem_norm")(x, fused=fused_ln)
             else:
-                x = nn.LayerNorm(epsilon=1e-6, name=f"downsample_norm{i}")(x)
+                x = LayerNormOpt(name=f"downsample_norm{i}")(
+                    x, fused=fused_ln)
                 x = nn.Conv(dim, (2, 2), strides=2, padding="VALID",
                             name=f"downsample_conv{i}")(x)
             moe_inds = [q for q in self.moe_block_inds[i] if q < depth]
@@ -201,8 +308,8 @@ class ConvNeXtMoE(nn.Module):
                     gate_losses.append(aux)
             block_idx += depth
             if i in self.out_indices:
-                outs.append(nn.LayerNorm(
-                    epsilon=1e-6, name=f"out_norm{i}")(x))
+                outs.append(LayerNormOpt(name=f"out_norm{i}")(
+                    x, fused=fused_ln))
 
         gate_loss = None
         if gate_losses:

@@ -123,3 +123,138 @@ def test_fused_align_bwd_bf16_policy():
     assert all(bool(jnp.isfinite(a.astype(jnp.float32)).all())
                for a in gf)
     assert groi.shape == rois.shape
+
+
+def test_fused_layernorm_matches_flax():
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from sm3det_tpu.ops.pallas.convnext_block_kernel import fused_layernorm
+
+    rng = np.random.RandomState(1)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.randn(2, 13, 17, 96).astype(np.float32)
+                        ).astype(dtype) * 3.0
+        ln = nn.LayerNorm(epsilon=1e-6)
+        v = ln.init(jax.random.PRNGKey(0), x)
+        scale = jnp.asarray(rng.rand(96).astype(np.float32)).astype(dtype)
+        bias = jnp.asarray(rng.randn(96).astype(np.float32)).astype(dtype)
+        v = {"params": {"scale": scale, "bias": bias}}
+        ref = np.asarray(ln.apply(v, x), np.float32)
+        got = np.asarray(fused_layernorm(x, scale, bias, interpret=True),
+                         np.float32)
+        tol = 1e-5 if dtype == jnp.float32 else 3e-2
+        assert np.abs(got - ref).max() < tol, (dtype, np.abs(got - ref).max())
+
+
+def _flax_block_reference(dim, use_grn=False, ls=1e-6):
+    """The pre-refactor ConvNeXt block, spelled with flax modules — the
+    numerical oracle for both the restructured module and the fused
+    kernel (convnext_moe.py:295-380)."""
+    import flax.linen as nn
+
+    from sm3det_tpu.models.layers import gelu as policy_gelu
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            shortcut = x
+            x = nn.Conv(dim, (7, 7), padding=3,
+                        feature_group_count=dim, name="dwconv")(x)
+            x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+            x = nn.Dense(4 * dim, name="pwconv1")(x)
+            x = policy_gelu(x)
+            x = nn.Dense(dim, name="pwconv2")(x)
+            gamma = self.param("gamma", nn.initializers.constant(ls),
+                               (dim,))
+            return shortcut + x * gamma
+    return Ref()
+
+
+def test_fused_convnext_block_matches_flax():
+    import jax
+    import jax.numpy as jnp
+
+    from sm3det_tpu.ops.pallas.convnext_block_kernel import (
+        fused_convnext_block, fused_dwconv_ln)
+
+    rng = np.random.RandomState(2)
+    dim = 96
+    ref = _flax_block_reference(dim)
+    x32 = jnp.asarray(rng.randn(2, 16, 16, dim).astype(np.float32))
+    v = ref.init(jax.random.PRNGKey(0), x32)
+    # non-trivial params
+    p = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32))
+        * 0.05, v["params"])
+    p["norm"]["scale"] = p["norm"]["scale"] + 1.0
+    p["gamma"] = jnp.abs(p["gamma"]) + 0.5
+    v = {"params": p}
+
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 4e-2)):
+        x = x32.astype(dtype)
+        vc = jax.tree.map(lambda a: a.astype(dtype), v)
+        ref_out = np.asarray(ref.apply(vc, x), np.float32)
+        pp = vc["params"]
+        got = np.asarray(fused_convnext_block(
+            x, pp["dwconv"]["kernel"], pp["dwconv"]["bias"],
+            pp["norm"]["scale"], pp["norm"]["bias"],
+            pp["pwconv1"]["kernel"], pp["pwconv1"]["bias"],
+            pp["pwconv2"]["kernel"], pp["pwconv2"]["bias"],
+            pp["gamma"], interpret=True), np.float32)
+        scale = np.abs(ref_out).max() + 1e-9
+        rel = np.abs(got - ref_out).max() / scale
+        assert rel < tol, (dtype, rel)
+
+    # dw+LN prefix variant
+    import flax.linen as nn
+
+    class Prefix(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(dim, (7, 7), padding=3,
+                        feature_group_count=dim, name="dwconv")(x)
+            return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+
+    pref = Prefix()
+    vp = {"params": {"dwconv": v["params"]["dwconv"],
+                     "norm": v["params"]["norm"]}}
+    ref_out = np.asarray(pref.apply(vp, x32), np.float32)
+    pp = vp["params"]
+    got = np.asarray(fused_dwconv_ln(
+        x32, pp["dwconv"]["kernel"], pp["dwconv"]["bias"],
+        pp["norm"]["scale"], pp["norm"]["bias"], interpret=True),
+        np.float32)
+    rel = np.abs(got - ref_out).max() / (np.abs(ref_out).max() + 1e-9)
+    assert rel < 1e-5, rel
+
+
+def test_restructured_block_matches_flax_modules():
+    """ConvNeXtBlock's param-container refactor (explicit lax ops) must
+    be numerically identical to the flax-module formulation, and its
+    param tree must keep the same names/shapes (checkpoint contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sm3det_tpu.models.backbones.convnext import ConvNeXtBlock
+
+    rng = np.random.RandomState(3)
+    dim = 32
+    x = jnp.asarray(rng.randn(2, 8, 8, dim).astype(np.float32))
+    blk = ConvNeXtBlock(dim=dim)
+    v = blk.init(jax.random.PRNGKey(0), x, train=False)
+    names = {(k, tuple(jax.tree_util.tree_leaves(sub)[0].shape)
+              if k == "gamma" else None)
+             for k, sub in v["params"].items()}
+    assert {k for k, _ in names} == {
+        "dwconv", "norm", "pwconv1", "pwconv2", "gamma"}
+    assert v["params"]["dwconv"]["kernel"].shape == (7, 7, 1, dim)
+    assert v["params"]["pwconv1"]["kernel"].shape == (dim, 4 * dim)
+
+    ref = _flax_block_reference(dim)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    # same tree structure -> can swap param sets wholesale
+    out_new = np.asarray(blk.apply(vr, x, train=False)[0])
+    out_ref = np.asarray(ref.apply(vr, x))
+    assert np.abs(out_new - out_ref).max() < 1e-6
