@@ -369,7 +369,7 @@ class TriSourceDetector(nn.Module):
             jnp.arange(bsz, dtype=jnp.float32), s)[:, None]
         rois6 = jnp.concatenate(
             [batch_idx, proposals.reshape(-1, 5)], axis=-1)
-        roi_feats = extract_rotated_roi_feats(x, rois6)
+        roi_feats = extract_rotated_roi_feats(x, rois6, bucketed=True)
         cls_logits, reg_pred = roi_head(roi_feats)
         cls_logits = cls_logits.reshape(bsz, s, -1).astype(jnp.float32)
         reg_pred = reg_pred.reshape(bsz, s, -1).astype(jnp.float32)
@@ -463,7 +463,8 @@ class TriSourceDetector(nn.Module):
             jnp.arange(bsz, dtype=jnp.float32), s)[:, None]
         rois6 = jnp.concatenate(
             [batch_idx, proposals.reshape(-1, 5)], axis=-1)
-        roi_feats = extract_rotated_roi_feats(x, rois6)   # ONE align
+        roi_feats = extract_rotated_roi_feats(x, rois6,
+                                              bucketed=True)  # ONE align
         rgb_logits, rgb_rp = self.rgb_roi_head(
             roi_feats[:n_rgb * s])
         ifr_logits, ifr_rp = self.ifr_roi_head(

@@ -181,7 +181,7 @@ class OrientedRCNN(nn.Module):
             jnp.arange(bsz, dtype=jnp.float32), s)[:, None]
         rois6 = jnp.concatenate(
             [batch_idx, proposals.reshape(-1, 5)], axis=-1)
-        roi_feats = extract_rotated_roi_feats(x, rois6)
+        roi_feats = extract_rotated_roi_feats(x, rois6, bucketed=True)
         cls_logits, reg_pred = self.roi_head(roi_feats)
         cls_logits = cls_logits.reshape(bsz, s, -1)
         reg_pred = reg_pred.reshape(bsz, s, -1)

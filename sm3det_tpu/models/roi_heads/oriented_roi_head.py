@@ -36,29 +36,38 @@ from ...ops.rotated_iou import box_iou_rotated_chunked
 from ..losses import smooth_l1_loss, softmax_cross_entropy
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _roi_feats_fused(feats, rois, out_size, featmap_strides, sample_num,
-                     finest_scale):
-    """Pallas fused pyramid align (forward); backward re-derives grads
-    through the exact jnp formulation (autodiff scatter-add), matching
-    the reference CUDA op's feature-only backward
-    (``roi_align_rotated_cuda_kernel.cuh`` backward grads input only)."""
-    from ...ops.pallas.roi_align_kernel import \
-        roi_align_rotated_pyramid_fused
-    return roi_align_rotated_pyramid_fused(
-        list(feats), rois, out_size, featmap_strides, sample_num,
-        finest_scale=finest_scale)
+                     finest_scale, bucketed):
+    """Pallas fused pyramid align (forward). ``bucketed=False`` (the
+    training default) runs the exact worst-case-patch kernel;
+    ``bucketed=True`` (inference paths) size-buckets: the big_k largest
+    RoIs use the worst-case patch, the rest a ~5x-cheaper small patch
+    with identical routing/sampling — exact unless >big_k RoIs exceed
+    the small patch (then overflow RoIs sample one level coarser; see
+    the kernel docstring). Training stays exact because its backward
+    re-derives grads through the exact jnp formulation (autodiff
+    scatter-add, matching the reference CUDA op's feature-only backward,
+    ``roi_align_rotated_cuda_kernel.cuh``) and a bucket-degraded
+    forward would disagree with it."""
+    from ...ops.pallas.roi_align_kernel import (
+        roi_align_rotated_pyramid_fused,
+        roi_align_rotated_pyramid_fused_bucketed)
+    fn = roi_align_rotated_pyramid_fused_bucketed if bucketed \
+        else roi_align_rotated_pyramid_fused
+    return fn(list(feats), rois, out_size, featmap_strides, sample_num,
+              finest_scale=finest_scale)
 
 
 def _roi_feats_fused_fwd(feats, rois, out_size, featmap_strides,
-                         sample_num, finest_scale):
+                         sample_num, finest_scale, bucketed):
     out = _roi_feats_fused(feats, rois, out_size, featmap_strides,
-                           sample_num, finest_scale)
+                           sample_num, finest_scale, bucketed)
     return out, (feats, rois)
 
 
 def _roi_feats_fused_bwd(out_size, featmap_strides, sample_num,
-                         finest_scale, res, g):
+                         finest_scale, bucketed, res, g):
     from ...ops.pallas.roi_align_kernel import (compute_patch_size,
                                                 route_levels)
     from ...ops.roi_align_rotated import roi_align_rotated_pyramid
@@ -85,7 +94,8 @@ _roi_feats_fused.defvjp(_roi_feats_fused_fwd, _roi_feats_fused_bwd)
 def extract_rotated_roi_feats(feats: Sequence[jnp.ndarray], rois,
                               out_size: int = 7, sample_num: int = 2,
                               featmap_strides=(4, 8, 16, 32),
-                              finest_scale: int = 56):
+                              finest_scale: int = 56,
+                              bucketed: bool = False):
     """Multi-level RoIAlignRotated with per-RoI level routing.
 
     TPU-first design: on TPU backends this dispatches to the fused
@@ -109,7 +119,7 @@ def extract_rotated_roi_feats(feats: Sequence[jnp.ndarray], rois,
     if jax.default_backend() == "tpu" and feats[0].shape[-1] % 128 == 0:
         return _roi_feats_fused(tuple(feats), rois, out_size,
                                 tuple(featmap_strides), sample_num,
-                                finest_scale)
+                                finest_scale, bucketed)
     from ...ops.roi_align_rotated import roi_align_rotated_pyramid
     scale = jnp.sqrt(jnp.maximum(rois[:, 3] * rois[:, 4], 1e-6))
     target_lvls = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))

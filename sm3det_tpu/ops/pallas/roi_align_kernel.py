@@ -70,65 +70,97 @@ ALIGN = 16   # HBM row-tile alignment for dynamic DMA origins (bf16: 16)
 
 
 def _make_kernel(patch: int, px: int, p: int, c: int, slab_w: int,
-                 compute_dtype):
-    """Build the per-RoI kernel for static (PATCH, PX, P, C).
+                 compute_dtype, n_buf: int = 2, group: int = 1):
+    """Build the kernel for static (PATCH, PX, P, C).
 
     A RoI's (PATCH, PX, C) window is fetched with ONE strided DMA from
     the 3-D pyramid slab (row offset on the free outer dim; x offset
-    ALIGN-aligned so Mosaic accepts the tiled-dim slice), double-buffered
-    across grid steps."""
+    ALIGN-aligned so Mosaic accepts the tiled-dim slice). Each grid
+    step processes ``group`` RoIs: the TPU's ~1-2 us fixed grid-step
+    cost dominates small-patch RoIs (their matmul is ~0.5 us), so
+    grouping amortizes it; the group's DMAs are issued together, which
+    also hides per-descriptor DMA latency. ``n_buf`` GROUPS are kept in
+    flight (double-buffered by default)."""
 
     def kernel(oy_ref, ox_ref, coords_ref, qy_ref, qx_ref, hbm_ref,
                out_ref, patches, sems):
-        i = pl.program_id(0)
+        i = pl.program_id(0)                  # group index
         n = pl.num_programs(0)
 
-        def dma(slot, idx):
+        def dma(slot, g, idx):
             # one strided window DMA per RoI: row offset is free (outer
             # dim), the x offset is ALIGN-aligned by the wrapper —
             # pl.multiple_of carries the proof to Mosaic
             ox = pl.multiple_of(ox_ref[idx], ALIGN)
             return pltpu.make_async_copy(
                 hbm_ref.at[pl.ds(oy_ref[idx], patch), pl.ds(ox, px), :],
-                patches.at[slot], sems.at[slot])
+                patches.at[slot, g], sems.at[slot, g])
 
-        @pl.when(i == 0)
+        for k in range(n_buf - 1):
+            @pl.when((i == 0) & (k < n))
+            def _(k=k):
+                for g in range(group):
+                    dma(k, g, k * group + g).start()
+
+        nxt = i + n_buf - 1
+
+        @pl.when(nxt < n)
         def _():
-            dma(0, 0).start()
+            for g in range(group):
+                dma(nxt % n_buf, g, nxt * group + g).start()
 
-        @pl.when(i + 1 < n)
-        def _():
-            dma((i + 1) % 2, i + 1).start()
-
-        dma(i % 2, i).wait()
-        # leading-dim collapse only (contiguity-preserving for Mosaic)
-        tile = patches[i % 2].reshape(patch * px, c)
-
-        y = coords_ref[0, 0, :]                      # (P,) patch-relative
-        x = coords_ref[0, 1, :]
-        y0 = jnp.floor(y)
-        x0 = jnp.floor(x)
-        # f32 stencil arithmetic throughout (v5e has no bf16 vector
-        # compare and mixing mask layouts trips Mosaic relayout); qy/qx
-        # are precomputed (P, PATCH*PX) index grids, loaded once (the
-        # BlockSpec maps every grid step to the same block).
-        fy = (y - y0)[:, None]
-        fx = (x - x0)[:, None]
-        y0 = y0[:, None]
-        x0 = x0[:, None]
+        slot = i % n_buf
         qy = qy_ref[...]
         qx = qx_ref[...]
-        # out-of-bounds samples arrive poisoned (-10): both taps miss
-        wy = jnp.where(qy == y0, 1.0 - fy, 0.0) + \
-            jnp.where(qy == y0 + 1.0, fy, 0.0)
-        wx = jnp.where(qx == x0, 1.0 - fx, 0.0) + \
-            jnp.where(qx == x0 + 1.0, fx, 0.0)
-        w = wy * wx
-        out_ref[0] = jnp.dot(w.astype(compute_dtype),
-                             tile.astype(compute_dtype),
-                             preferred_element_type=jnp.float32)
+        for g in range(group):
+            dma(slot, g, i * group + g).wait()
+            # leading-dim collapse only (contiguity-preserving)
+            tile = patches[slot, g].reshape(patch * px, c)
+            y = coords_ref[g, 0, :]              # (P,) patch-relative
+            x = coords_ref[g, 1, :]
+            y0 = jnp.floor(y)
+            x0 = jnp.floor(x)
+            # f32 stencil arithmetic throughout (v5e has no bf16 vector
+            # compare and mixing mask layouts trips Mosaic relayout);
+            # qy/qx are precomputed (P, PATCH*PX) index grids, loaded
+            # once (their BlockSpec maps every step to the same block).
+            fy = (y - y0)[:, None]
+            fx = (x - x0)[:, None]
+            # out-of-bounds samples arrive poisoned (-10): both taps
+            # miss
+            wy = jnp.where(qy == y0[:, None], 1.0 - fy, 0.0) + \
+                jnp.where(qy == y0[:, None] + 1.0, fy, 0.0)
+            wx = jnp.where(qx == x0[:, None], 1.0 - fx, 0.0) + \
+                jnp.where(qx == x0[:, None] + 1.0, fx, 0.0)
+            w = wy * wx
+            out_ref[g] = jnp.dot(w.astype(compute_dtype),
+                                 tile.astype(compute_dtype),
+                                 preferred_element_type=jnp.float32)
 
     return kernel
+
+
+def _build_slab(feats, patch: int):
+    """Row-concatenate the pyramid into one (B*sum_h, slab_w, C) slab.
+
+    ``slab_w``/``pad_heights`` are sized for ``patch`` (the LARGEST
+    patch that will sample from this slab, when shared by the bucketed
+    variant's two kernel calls)."""
+    nb = feats[0].shape[0]
+    c = feats[0].shape[-1]
+    heights = [f.shape[1] for f in feats]
+    widths = [f.shape[2] for f in feats]
+    px = patch + ALIGN
+    slab_w = _roundup(max(max(widths), px), ALIGN)
+    pad_heights = [max(h, patch) for h in heights]
+    row_base = np.cumsum([0] + pad_heights[:-1])
+    sum_h = int(sum(pad_heights))
+    slab = jnp.concatenate(
+        [jnp.pad(f, ((0, 0), (0, ph - f.shape[1]),
+                     (0, slab_w - f.shape[2]), (0, 0)))
+         for f, ph in zip(feats, pad_heights)], axis=1)
+    slab = slab.reshape(nb * sum_h, slab_w, c)
+    return slab, slab_w, pad_heights, row_base, sum_h
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -150,28 +182,29 @@ def roi_align_rotated_pyramid_fused(feats, rois, out_size: int = 7,
     Returns:
         (N, out_size, out_size, C) pooled features, ``feats[0].dtype``.
     """
-    nb = feats[0].shape[0]
-    c = feats[0].shape[-1]
-    num_lvls = len(featmap_strides)
     heights = [f.shape[1] for f in feats]
     widths = [f.shape[2] for f in feats]
+    # patch sized so ANY box fits at the coarsest level (image diagonal)
+    patch = compute_patch_size(heights, widths)
+    slab, slab_w, pad_heights, row_base, sum_h = _build_slab(
+        feats, patch)
+    return _align_core(
+        slab, slab_w, pad_heights, row_base, sum_h,
+        feats[0].shape[0], heights, widths, feats[0].dtype,
+        rois, patch, out_size, featmap_strides, sample_num, aligned,
+        clockwise, finest_scale, interpret)
+
+
+def _align_core(slab, slab_w, pad_heights, row_base, sum_h, nb,
+                heights, widths, out_dtype, rois, patch, out_size,
+                featmap_strides, sample_num, aligned, clockwise,
+                finest_scale, interpret):
+    c = slab.shape[-1]
+    num_lvls = len(featmap_strides)
     n = rois.shape[0]
     g = sample_num
     p = (out_size * g) ** 2
-
-    # patch sized so ANY box fits at the coarsest level (image diagonal)
-    patch = compute_patch_size(heights, widths)
     px = patch + ALIGN   # x extent widened so the DMA origin can align
-    slab_w = _roundup(max(max(widths), px), ALIGN)
-    pad_heights = [max(h, patch) for h in heights]
-    row_base = np.cumsum([0] + pad_heights[:-1])
-    sum_h = int(sum(pad_heights))
-
-    slab = jnp.concatenate(
-        [jnp.pad(f, ((0, 0), (0, ph - f.shape[1]),
-                     (0, slab_w - f.shape[2]), (0, 0)))
-         for f, ph in zip(feats, pad_heights)], axis=1)
-    slab = slab.reshape(nb * sum_h, slab_w, c)
 
     # ---- level routing: sqrt-area rule + extent clamp -------------------
     lvl = route_levels(rois, patch, featmap_strides, finest_scale,
@@ -235,11 +268,25 @@ def roi_align_rotated_pyramid_fused(feats, rois, out_size: int = 7,
         (itc // px).astype(np.float32), (p, patch * px)))
     qx_grid = jnp.asarray(np.broadcast_to(
         (itc % px).astype(np.float32), (p, patch * px)))
+    # RoIs per grid step: amortize the ~1-2 us fixed step cost (the
+    # dominant term for small patches) while bounding VMEM to ~2
+    # double-buffered groups of windows
+    win_bytes = patch * px * c * slab.dtype.itemsize
+    group = max(1, min(8, (5 * 1024 * 1024 // 2) // max(win_bytes, 1)))
+    n_buf = 2
+    npad = _roundup(n, group)
+    if npad != n:
+        # padding RoIs replay window 0 and are sliced off below
+        pad = npad - n
+        oy_abs = jnp.concatenate([oy_abs, jnp.zeros(pad, jnp.int32)])
+        ox_i = jnp.concatenate([ox_i, jnp.zeros(pad, jnp.int32)])
+        coords = jnp.concatenate(
+            [coords, jnp.full((pad, 2, p), -10.0, coords.dtype)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n,),
+        grid=(npad // group,),
         in_specs=[
-            pl.BlockSpec((1, 2, p), lambda i, oy, ox: (i, 0, 0),
+            pl.BlockSpec((group, 2, p), lambda i, oy, ox: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((p, patch * px), lambda i, oy, ox: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -247,19 +294,83 @@ def roi_align_rotated_pyramid_fused(feats, rois, out_size: int = 7,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, p, c), lambda i, oy, ox: (i, 0, 0),
+        out_specs=pl.BlockSpec((group, p, c),
+                               lambda i, oy, ox: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, patch, px, c), slab.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_buf, group, patch, px, c), slab.dtype),
+            pltpu.SemaphoreType.DMA((n_buf, group)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(patch, px, p, c, slab_w, compute_dtype),
+        _make_kernel(patch, px, p, c, slab_w, compute_dtype,
+                     n_buf=n_buf, group=group),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, p, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((npad, p, c), jnp.float32),
         interpret=interpret,
-    )(oy_abs, ox_i, coords, qy_grid, qx_grid, slab)
+    )(oy_abs, ox_i, coords, qy_grid, qx_grid, slab)[:n]
 
     pooled = out.reshape(n, out_size, g, out_size, g, c).mean(axis=(2, 4))
-    return pooled.astype(feats[0].dtype)
+    return pooled.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "out_size", "featmap_strides", "sample_num", "aligned", "clockwise",
+    "finest_scale", "small_patch", "big_k", "interpret"))
+def roi_align_rotated_pyramid_fused_bucketed(
+        feats, rois, out_size: int = 7,
+        featmap_strides=(4, 8, 16, 32), sample_num: int = 2,
+        aligned: bool = True, clockwise: bool = True,
+        finest_scale: int = 56, small_patch: int = 16,
+        big_k: int = 1024, interpret: bool = False):
+    """Size-bucketed fused align: the worst-case patch (the sqrt-area
+    rule can assign up to ~40 cells at a RoI's level) forces a ~1 MB
+    window DMA and a (P, patch*px) matmul PER RoI, but small objects —
+    the bulk of proposals on remote-sensing data — span far fewer. The
+    ``big_k`` RoIs needing the most cells run the full-patch kernel;
+    the rest run a ``small_patch`` kernel (~5x less DMA and MXU work).
+
+    Exactness: RoIs are ranked by cells-at-routed-level, so every RoI
+    whose diagonal exceeds ``small_patch - 3`` cells lands in the big
+    bucket as long as there are at most ``big_k`` of them. A RoI that
+    fits the small patch at its full-patch-routed level resolves to the
+    SAME level inside the small kernel (the small extent clamp is
+    sandwiched between the full clamp and the routed level) —
+    identical sampling. If MORE than ``big_k`` RoIs need a big patch,
+    the overflow RoIs (the smallest of the big class, by the ranking)
+    are pushed one level coarser by the small kernel's extent clamp —
+    the same graceful degradation the clamp already applies to
+    ultra-elongated boxes, never an invalid read.
+    """
+    n = rois.shape[0]
+    heights = [f.shape[1] for f in feats]
+    widths = [f.shape[2] for f in feats]
+    patch = compute_patch_size(heights, widths)
+    if n <= big_k or small_patch >= patch:
+        return roi_align_rotated_pyramid_fused(
+            feats, rois, out_size, featmap_strides, sample_num,
+            aligned, clockwise, finest_scale, interpret)
+
+    slab, slab_w, pad_heights, row_base, sum_h = _build_slab(
+        feats, patch)
+
+    # cells needed at the full-patch routed level, descending
+    lvl = route_levels(rois, patch, featmap_strides, finest_scale,
+                       len(featmap_strides))
+    stride = jnp.asarray(featmap_strides, jnp.float32)[lvl]
+    diag_cells = jnp.sqrt(rois[:, 3] ** 2 + rois[:, 4] ** 2) / stride
+    order = jnp.argsort(-diag_cells)
+    inv = jnp.argsort(order)
+    rois_sorted = rois[order]
+
+    args = (out_size, featmap_strides, sample_num, aligned, clockwise,
+            finest_scale, interpret)
+    out_big = _align_core(
+        slab, slab_w, pad_heights, row_base, sum_h, feats[0].shape[0],
+        heights, widths, feats[0].dtype, rois_sorted[:big_k], patch,
+        *args)
+    out_small = _align_core(
+        slab, slab_w, pad_heights, row_base, sum_h, feats[0].shape[0],
+        heights, widths, feats[0].dtype, rois_sorted[big_k:],
+        small_patch, *args)
+    return jnp.concatenate([out_big, out_small], axis=0)[inv]

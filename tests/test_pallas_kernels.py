@@ -117,7 +117,7 @@ def test_fused_align_bwd_bf16_policy():
         [[0, 8.0, 8.0, 6.0, 4.0, 0.3],
          [0, 4.0, 4.0, 3.0, 2.0, -0.2]], np.float32))
     g = jnp.ones((2, 7, 7, 256), jnp.bfloat16)
-    gf, groi = _roi_feats_fused_bwd(7, (1, 2, 4, 8), 2, 4,
+    gf, groi = _roi_feats_fused_bwd(7, (1, 2, 4, 8), 2, 4, False,
                                     (feats, rois), g)
     assert all(a.dtype == f.dtype for a, f in zip(gf, feats))
     assert all(bool(jnp.isfinite(a.astype(jnp.float32)).all())
@@ -258,3 +258,67 @@ def test_restructured_block_matches_flax_modules():
     out_new = np.asarray(blk.apply(vr, x, train=False)[0])
     out_ref = np.asarray(ref.apply(vr, x))
     assert np.abs(out_new - out_ref).max() < 1e-6
+
+
+def _bucket_fixture(rng, n, img=512, bsz=2, c=64, p_big=0.2):
+    """Proposal-like mix: small boxes fit the small patch (diag < 52 px
+    -> <= 13 cells at stride 4), `big` boxes need the full patch."""
+    import jax.numpy as jnp
+    strides = (4, 8, 16, 32)
+    feats = [jnp.asarray(rng.rand(bsz, img // s, img // s, c)
+                         .astype(np.float32)) for s in strides]
+    big = rng.rand(n) < p_big          # one mask for BOTH dims so the
+    w = np.where(big, rng.uniform(100, 220, n),     # big count is ~p_big*n
+                 rng.uniform(8, 36, n))
+    h = np.where(big, rng.uniform(100, 220, n), rng.uniform(8, 36, n))
+    rois = jnp.asarray(np.stack([
+        rng.randint(0, bsz, n).astype(np.float32),
+        rng.uniform(30, img - 30, n), rng.uniform(30, img - 30, n),
+        w, h, rng.uniform(-1.5, 1.5, n)], -1).astype(np.float32))
+    return feats, rois, int(big.sum())
+
+
+def test_bucketed_align_matches_unbucketed():
+    """Size-bucketed fused align == plain fused align when every RoI
+    needing the full patch fits in the big bucket (n_big <= big_k)."""
+    from sm3det_tpu.ops.pallas.roi_align_kernel import (
+        compute_patch_size, roi_align_rotated_pyramid_fused,
+        roi_align_rotated_pyramid_fused_bucketed)
+
+    rng = np.random.RandomState(7)
+    n = 97   # odd: exercises the group-padding path
+    feats, rois, n_big = _bucket_fixture(rng, n)
+    # 512 px image -> full patch 24 > small_patch 16: both kernels run
+    assert compute_patch_size([f.shape[1] for f in feats],
+                              [f.shape[2] for f in feats]) > 16
+    assert n_big <= 32 < n
+
+    plain = np.asarray(roi_align_rotated_pyramid_fused(
+        feats, rois, 7, interpret=True))
+    bucketed = np.asarray(roi_align_rotated_pyramid_fused_bucketed(
+        feats, rois, 7, big_k=32, interpret=True))
+    rel = np.abs(plain - bucketed).max() / (np.abs(plain).max() + 1e-9)
+    assert rel < 1e-5, rel
+
+
+def test_bucketed_align_overflow_bound():
+    """When MORE than big_k RoIs need the full patch, ONLY the overflow
+    RoIs (the smallest of the big class) may differ — they sample one
+    level coarser (the kernel's documented graceful degradation); every
+    other RoI stays exact."""
+    from sm3det_tpu.ops.pallas.roi_align_kernel import (
+        roi_align_rotated_pyramid_fused,
+        roi_align_rotated_pyramid_fused_bucketed)
+
+    rng = np.random.RandomState(11)
+    n, big_k = 97, 8
+    feats, rois, n_big = _bucket_fixture(rng, n, p_big=0.3)
+    assert n_big > big_k   # forces overflow
+
+    plain = np.asarray(roi_align_rotated_pyramid_fused(
+        feats, rois, 7, interpret=True))
+    bucketed = np.asarray(roi_align_rotated_pyramid_fused_bucketed(
+        feats, rois, 7, big_k=big_k, interpret=True))
+    diff = np.abs(plain - bucketed).max(axis=(1, 2, 3)) > \
+        1e-5 * np.abs(plain).max()
+    assert diff.sum() <= n_big - big_k, (diff.sum(), n_big, big_k)
