@@ -322,7 +322,7 @@ def roi_align_rotated_pyramid_fused_bucketed(
         featmap_strides=(4, 8, 16, 32), sample_num: int = 2,
         aligned: bool = True, clockwise: bool = True,
         finest_scale: int = 56, small_patch: int = 16,
-        big_k: int = 1024, interpret: bool = False):
+        big_k: int | None = None, interpret: bool = False):
     """Size-bucketed fused align: the worst-case patch (the sqrt-area
     rule can assign up to ~40 cells at a RoI's level) forces a ~1 MB
     window DMA and a (P, patch*px) matmul PER RoI, but small objects —
@@ -343,6 +343,11 @@ def roi_align_rotated_pyramid_fused_bucketed(
     ultra-elongated boxes, never an invalid read.
     """
     n = rois.shape[0]
+    if big_k is None:
+        # big-bucket share must scale with N (batched multi-image RoI
+        # sets), or the per-image exactness margin shrinks with batch:
+        # keep the tuned 1024-of-4000 (~25%) ratio as the default
+        big_k = max(1024, n // 4)
     heights = [f.shape[1] for f in feats]
     widths = [f.shape[2] for f in feats]
     patch = compute_patch_size(heights, widths)
