@@ -121,7 +121,11 @@ class ExpertFFN(nn.Module):
                 .reshape(e, -1, h)
         y = jnp.einsum("ech,ehd->ecd", y, w2,
                        preferred_element_type=jnp.float32) + b2[:, None]
-        return y
+        # back to the compute dtype HERE: f32 accumulation happened in
+        # the einsum; leaving the (E, cap, d) buffer f32 doubles the
+        # HBM traffic of the gather+combine that follows (and silently
+        # promoted the combine to f32 despite the gate cast)
+        return y.astype(x.dtype)
 
 
 class ExpertLinear(nn.Module):
@@ -139,8 +143,9 @@ class ExpertLinear(nn.Module):
         w = self.param("w", nn.initializers.variance_scaling(
             1.0, "fan_in", "truncated_normal"), (e, d, o))
         b = self.param("b", nn.initializers.zeros, (e, o))
-        return jnp.einsum("ecd,edo->eco", x, w,
-                          preferred_element_type=jnp.float32) + b[:, None]
+        y = jnp.einsum("ecd,edo->eco", x, w,
+                       preferred_element_type=jnp.float32) + b[:, None]
+        return y.astype(x.dtype)   # f32 accumulated; combine at x.dtype
 
 
 class MoELayer(nn.Module):

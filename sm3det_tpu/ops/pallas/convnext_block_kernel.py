@@ -116,11 +116,33 @@ def fused_layernorm(x, scale, bias, eps: float = 1e-6,
 # --------------------------------------------------------------------------
 
 
-def _pick_rb(h: int, w: int, max_tokens: int = 2048) -> int:
-    """Largest row-band height dividing ``h`` with ``rb*w <= max_tokens``."""
-    best = 1
+def _vmem_plan_bytes(rb: int, w: int, c: int, hidden: int) -> int:
+    """VMEM footprint of the kernel at row-band ``rb`` (bf16 tiles)."""
+    hp, wp = rb + 6, _roundup(w + 6, 8)
+    cp = _roundup(c, 128)
+    v = 2 * hp * wp * cp * 2              # double-buffered input tiles
+    v += rb * w * cp * 4 * 3              # f32 acc/ln temporaries
+    if hidden:
+        v += rb * w * hidden * 4          # f32 fc1 out
+        v += rb * w * hidden * 2          # bf16 gelu out
+        v += 2 * cp * hidden * 2          # weights
+    return v
+
+
+_VMEM_LIMIT = 11 * 1024 * 1024
+
+
+def _pick_rb(h: int, w: int, c: int = 0, hidden: int = 0,
+             max_tokens: int = 2048) -> int:
+    """Largest row-band height dividing ``h`` with ``rb*w <= max_tokens``
+    whose VMEM plan fits (0 if none does): big stages get big bands,
+    hidden-heavy stages (stage 2/3 dense MLPs) shrink the band instead
+    of falling off the fused path entirely."""
+    best = 0
     for rb in range(1, h + 1):
-        if h % rb == 0 and rb * w <= max_tokens:
+        if h % rb == 0 and rb * w <= max_tokens and \
+                (not c or _vmem_plan_bytes(rb, w, c, hidden)
+                 < _VMEM_LIMIT):
             best = rb
     return best
 
@@ -224,7 +246,7 @@ def _fused_block_impl(x, dwk, dwb, lns, lnb, mlp, eps, interpret):
     compute_dtype = x.dtype
     approx_gelu = compute_dtype == jnp.bfloat16
 
-    rb = _pick_rb(h, w)
+    rb = _pick_rb(h, w, c, w1.shape[1] if with_mlp else 0)
     nr = h // rb
     hp, wp = rb + 6, _roundup(w + 6, 8)
     # DMA minor dim must be 128-aligned: run the whole pipeline at
@@ -305,15 +327,11 @@ def fused_dwconv_ln(x, dwk, dwb, lns, lnb, eps: float = 1e-6,
 
 def fused_block_supported(h: int, w: int, c: int,
                           hidden: int = 0) -> bool:
-    """Static gate: shapes for which the kernel's VMEM plan fits."""
+    """Static gate: some row-band fits the VMEM plan AND gives the grid
+    enough tokens per step to amortize the fixed step cost (rb*w >= 256
+    rules out degenerate one-row bands, e.g. stage-4 whole-block whose
+    weights alone eat the budget — XLA's unfused path wins there)."""
     if w > 2048 or c > 1024:
         return False
-    rb = _pick_rb(h, w)
-    hp, wp = rb + 6, w + 6
-    vmem = 2 * hp * wp * c * 2            # double-buffered tiles (bf16)
-    vmem += rb * w * c * 4 * 3            # f32 acc/ln temporaries
-    if hidden:
-        vmem += rb * w * hidden * 4       # f32 fc1 out
-        vmem += rb * w * hidden * 2       # bf16 gelu out
-        vmem += 2 * c * hidden * 2        # weights
-    return vmem < 11 * 1024 * 1024
+    rb = _pick_rb(h, w, c, hidden)
+    return rb > 0 and rb * w >= 256

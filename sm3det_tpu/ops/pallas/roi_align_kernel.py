@@ -70,7 +70,8 @@ ALIGN = 16   # HBM row-tile alignment for dynamic DMA origins (bf16: 16)
 
 
 def _make_kernel(patch: int, px: int, p: int, c: int, slab_w: int,
-                 compute_dtype, n_buf: int = 2, group: int = 1):
+                 compute_dtype, gsq: int, out_dtype,
+                 n_buf: int = 2, group: int = 1):
     """Build the kernel for static (PATCH, PX, P, C).
 
     A RoI's (PATCH, PX, C) window is fetched with ONE strided DMA from
@@ -133,9 +134,20 @@ def _make_kernel(patch: int, px: int, p: int, c: int, slab_w: int,
             wx = jnp.where(qx == x0[:, None], 1.0 - fx, 0.0) + \
                 jnp.where(qx == x0[:, None] + 1.0, fx, 0.0)
             w = wy * wx
-            out_ref[g] = jnp.dot(w.astype(compute_dtype),
-                                 tile.astype(compute_dtype),
-                                 preferred_element_type=jnp.float32)
+            res = jnp.dot(w.astype(compute_dtype),
+                          tile.astype(compute_dtype),
+                          preferred_element_type=jnp.float32)
+            # avg-pool the gsq sub-samples of each output bin HERE:
+            # sample order is (ph, pw, gy, gx), so the pool is over the
+            # contiguous minor group — emitting (out^2, C) pooled
+            # directly keeps the f32 (N, P, C) sample tensor (2.4 GB at
+            # batch-16 bench shapes) out of HBM entirely (it cost a
+            # layout copy + reduce + convert downstream)
+            res = res.reshape(p // gsq, gsq, c)
+            acc = res[:, 0, :]
+            for q in range(1, gsq):
+                acc = acc + res[:, q, :]
+            out_ref[g] = (acc * (1.0 / gsq)).astype(out_dtype)
 
     return kernel
 
@@ -224,7 +236,8 @@ def _align_core(slab, slab_w, pad_heights, row_base, sum_h, nb,
     h = rois[:, 4] * inv
     theta = -rois[:, 5] if clockwise else rois[:, 5]
 
-    # sample grid, same ordering as the exact path: (out, g, out, g)
+    # sample grid in (ph, pw, gy, gx) order: the gsq=g*g sub-samples of
+    # an output bin are CONTIGUOUS so the kernel can pool them in-place
     sub = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
     ph_i = jnp.arange(out_size, dtype=jnp.float32)
     bin_h = h / out_size
@@ -233,16 +246,19 @@ def _align_core(slab, slab_w, pad_heights, row_base, sum_h, nb,
         (ph_i[None, :, None] + sub[None, None, :]) * bin_h[:, None, None]
     xx = (-w / 2)[:, None, None] + \
         (ph_i[None, :, None] + sub[None, None, :]) * bin_w[:, None, None]
-    yy = yy[:, :, :, None, None]
-    xx = xx[:, None, None, :, :]
+    yy = yy[:, :, None, :, None]                 # (n, PH, _, GY, _)
+    xx = xx[:, None, :, None, :]                 # (n, _, PW, _, GX)
     ct = jnp.cos(theta)[:, None, None, None, None]
     st = jnp.sin(theta)[:, None, None, None, None]
     y = (yy * ct + xx * st + cy[:, None, None, None, None]).reshape(n, p)
     x = (xx * ct - yy * st + cx[:, None, None, None, None]).reshape(n, p)
 
     # oob contributions are zero, exactly like the CUDA kernel's guard
-    oob = (y < -1.0) | (y > lvl_h[:, None]) | \
-          (x < -1.0) | (x > lvl_w[:, None])
+    # (``y < -1 || y > h || x < -1 || x > w`` -> skip). Poison PER AXIS:
+    # the kernel's w = wy*wx is zero whenever either factor is zero, so
+    # axis-wise poisoning reproduces the joint guard exactly.
+    oob_y = (y < -1.0) | (y > lvl_h[:, None])
+    oob_x = (x < -1.0) | (x > lvl_w[:, None])
     y_cl = jnp.clip(y, 0.0, lvl_h[:, None] - 1.0)
     x_cl = jnp.clip(x, 0.0, lvl_w[:, None] - 1.0)
 
@@ -256,8 +272,8 @@ def _align_core(slab, slab_w, pad_heights, row_base, sum_h, nb,
     oy_abs = (batch * sum_h + base + oy_rel).astype(jnp.int32)
     ox_i = ox.astype(jnp.int32)
 
-    y_rel = jnp.where(oob, -10.0, y_cl - oy_rel[:, None])
-    x_rel = jnp.where(oob, -10.0, x_cl - ox[:, None])
+    y_rel = jnp.where(oob_y, -10.0, y_cl - oy_rel[:, None])
+    x_rel = jnp.where(oob_x, -10.0, x_cl - ox[:, None])
     coords = jnp.stack([y_rel, x_rel], axis=1)           # (N, 2, P)
 
     compute_dtype = slab.dtype if slab.dtype == jnp.bfloat16 \
@@ -282,6 +298,8 @@ def _align_core(slab, slab_w, pad_heights, row_base, sum_h, nb,
         ox_i = jnp.concatenate([ox_i, jnp.zeros(pad, jnp.int32)])
         coords = jnp.concatenate(
             [coords, jnp.full((pad, 2, p), -10.0, coords.dtype)])
+    gsq = g * g
+    pout = p // gsq                                       # out_size^2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(npad // group,),
@@ -294,7 +312,7 @@ def _align_core(slab, slab_w, pad_heights, row_base, sum_h, nb,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((group, p, c),
+        out_specs=pl.BlockSpec((group, pout, c),
                                lambda i, oy, ox: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -303,15 +321,14 @@ def _align_core(slab, slab_w, pad_heights, row_base, sum_h, nb,
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(patch, px, p, c, slab_w, compute_dtype,
-                     n_buf=n_buf, group=group),
+        _make_kernel(patch, px, p, c, slab_w, compute_dtype, gsq,
+                     out_dtype, n_buf=n_buf, group=group),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((npad, p, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((npad, pout, c), out_dtype),
         interpret=interpret,
     )(oy_abs, ox_i, coords, qy_grid, qx_grid, slab)[:n]
 
-    pooled = out.reshape(n, out_size, g, out_size, g, c).mean(axis=(2, 4))
-    return pooled.astype(out_dtype)
+    return out.reshape(n, out_size, out_size, c)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -65,7 +65,9 @@ def main():
         if p.dtype == jnp.float32 else p, params)
     v = {"params": params}
 
-    n_sar, n_rgb, n_ifr = 2, 1, 1
+    import ast
+    n_sar, n_rgb, n_ifr = ast.literal_eval(
+        os.environ.get('SM3DET_COMP', '(2, 1, 1)'))
     ids = jnp.asarray([0] * n_sar + [1] * n_rgb + [2] * n_ifr,
                       jnp.int32)
 
@@ -140,7 +142,7 @@ def main():
             imgs[:n_sar], imgs[n_sar:n_sar + n_rgb],
             imgs[n_sar + n_rgb:], (IMG, IMG))
 
-    x4 = jnp.asarray(rng.rand(4, IMG, IMG, 3).astype(np.float32))
+    x4 = jnp.asarray(rng.rand(n_sar + n_rgb + n_ifr, IMG, IMG, 3).astype(np.float32))
 
     def perturb(a, eps):
         return (a[0], a[1] + eps * 1e-9)
