@@ -237,12 +237,17 @@ class MoELayer(nn.Module):
         flat_expert = top_k_idx.reshape(-1)                  # (N*k,)
         flat_gate = top_k_gates.reshape(-1)
 
-        counts = jnp.sum(jax.nn.one_hot(flat_expert, e, dtype=jnp.int32),
-                         axis=0)                              # (E,)
+        oh = jax.nn.one_hot(flat_expert, e, dtype=jnp.int32)  # (N*k, E)
+        counts = jnp.sum(oh, axis=0)                          # (E,)
         starts = jnp.cumsum(counts) - counts                  # (E,)
         order = jnp.argsort(flat_expert, stable=True)         # (N*k,)
-        inv = jnp.argsort(order, stable=True)    # rank of each flat idx
-        position = inv - starts[flat_expert]                  # (N*k,)
+        # position-in-expert straight from the running per-expert count
+        # (== rank - expert_start, but without the second argsort the
+        # rank recovery cost: one (N*k, E) i32 cumsum is ~10x cheaper
+        # than argsort(order) at bench sizes)
+        pos_all = jnp.cumsum(oh, axis=0) - oh                 # (N*k, E)
+        position = jnp.take_along_axis(
+            pos_all, flat_expert[:, None], axis=1)[:, 0]      # (N*k,)
         keep = position < capacity
         # capacity A/B instrument (SURVEY §7): fraction of (token, choice)
         # routes dropped by the static capacity — capture via

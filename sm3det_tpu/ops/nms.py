@@ -24,15 +24,20 @@ import jax.numpy as jnp
 from .rotated_iou import box_iou_rotated_chunked
 
 
-def _pairwise_rotated_iou(boxes1, boxes2, row_chunk: int = 256):
+def _pairwise_rotated_iou(boxes1, boxes2, row_chunk: int = 256,
+                          triu: bool = False):
     """Pairwise rotated IoU, dispatched to the tiled Pallas TPU kernel on
     TPU backends (1.6x the jnp chunked path at N=2000 on-chip; see
     tools/profile_micro.py) and the jnp path elsewhere. Both implement the
     same Green's-theorem interval clipping; parity is asserted in
-    tests/test_pallas_kernels.py."""
+    tests/test_pallas_kernels.py.
+
+    ``triu=True`` (suppression-matrix callers): blocks strictly below the
+    diagonal are zeroed without computing — ``greedy_keep`` only reads
+    the strict upper triangle."""
     if jax.default_backend() == "tpu":
         from .pallas.rotated_iou_kernel import box_iou_rotated_pallas
-        return box_iou_rotated_pallas(boxes1, boxes2)
+        return box_iou_rotated_pallas(boxes1, boxes2, triu=triu)
     return box_iou_rotated_chunked(boxes1, boxes2, row_chunk=row_chunk)
 
 __all__ = [
@@ -221,7 +226,8 @@ def nms_rotated(boxes, scores, iou_threshold: float, max_out: int,
     boxes_s = boxes[order]
     scores_s = scores[order]
     eligible = scores_s > score_thr
-    iou = _pairwise_rotated_iou(boxes_s, boxes_s, row_chunk=row_chunk)
+    iou = _pairwise_rotated_iou(boxes_s, boxes_s, row_chunk=row_chunk,
+                                triu=True)
     keep = greedy_keep(iou > iou_threshold, eligible)
     ob, os, oi, ov = _finalize(boxes_s, scores_s, order, keep, max_out)
     dets = jnp.concatenate([ob, os[:, None]], axis=-1)

@@ -79,26 +79,46 @@ def _clip_contrib(sub_x, sub_y, clip_x, clip_y, eps_inside):
     return total
 
 
-def _iou_block_kernel(b1_ref, b2_ref, out_ref):
-    p1 = b1_ref[...]                       # (5/8, BLK) sublane-padded
-    p2 = b2_ref[...]
-    rx, ry = _corners_rowcol(p1, row=True)
-    cx, cy = _corners_rowcol(p2, row=False)
-    inter = _clip_contrib(rx, ry, cx, cy, 1e-4) + \
-        _clip_contrib(cx, cy, rx, ry, -1e-4)
-    inter = jnp.maximum(inter, 0.0)
-    area1 = (p1[2] * p1[3]).reshape(-1, 1)
-    area2 = (p2[2] * p2[3]).reshape(1, -1)
-    union = area1 + area2 - inter
-    out_ref[...] = jnp.where(union > _EPS,
-                             inter / jnp.maximum(union, _EPS), 0.0)
+def _iou_block_kernel(b1_ref, b2_ref, out_ref, *, triu: bool = False):
+    def compute():
+        p1 = b1_ref[...]                   # (5/8, BLK) sublane-padded
+        p2 = b2_ref[...]
+        rx, ry = _corners_rowcol(p1, row=True)
+        cx, cy = _corners_rowcol(p2, row=False)
+        inter = _clip_contrib(rx, ry, cx, cy, 1e-4) + \
+            _clip_contrib(cx, cy, rx, ry, -1e-4)
+        inter = jnp.maximum(inter, 0.0)
+        area1 = (p1[2] * p1[3]).reshape(-1, 1)
+        area2 = (p2[2] * p2[3]).reshape(1, -1)
+        union = area1 + area2 - inter
+        out_ref[...] = jnp.where(union > _EPS,
+                                 inter / jnp.maximum(union, _EPS), 0.0)
+
+    if not triu:
+        compute()
+        return
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j < i)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(j >= i)
+    def _():
+        compute()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def box_iou_rotated_pallas(boxes1, boxes2, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("triu", "interpret"))
+def box_iou_rotated_pallas(boxes1, boxes2, triu: bool = False,
+                           interpret: bool = False):
     """(N, 5) x (M, 5) -> (N, M) rotated IoU via the tiled Pallas kernel.
 
     N, M are padded to 128 internally; callers slice the result.
+    ``triu=True`` zeroes (without computing) every block strictly below
+    the diagonal — for score-ordered NMS suppression matrices, whose
+    consumers only read the strict upper triangle (ops/nms.py
+    ``greedy_keep``), this halves the pairwise-clip work.
     """
     n, m = boxes1.shape[0], boxes2.shape[0]
     pad_n = (-n) % BLK
@@ -108,7 +128,7 @@ def box_iou_rotated_pallas(boxes1, boxes2, interpret: bool = False):
     np_, mp_ = n + pad_n, m + pad_m
 
     out = pl.pallas_call(
-        _iou_block_kernel,
+        functools.partial(_iou_block_kernel, triu=triu),
         grid=(np_ // BLK, mp_ // BLK),
         in_specs=[
             pl.BlockSpec((5, BLK), lambda i, j: (0, i),

@@ -322,3 +322,40 @@ def test_bucketed_align_overflow_bound():
     diff = np.abs(plain - bucketed).max(axis=(1, 2, 3)) > \
         1e-5 * np.abs(plain).max()
     assert diff.sum() <= n_big - big_k, (diff.sum(), n_big, big_k)
+
+
+def test_pallas_iou_triu_upper_matches_and_vmap_safe():
+    """triu mode: strict-upper blocks equal the full kernel, lower
+    blocks are zero; program_id axes must survive an outer vmap (the
+    joint path vmaps NMS over images)."""
+    import jax
+
+    rng = np.random.RandomState(1)
+
+    def rand(k):
+        return np.stack([
+            rng.uniform(0, 400, k), rng.uniform(0, 400, k),
+            rng.uniform(4, 60, k), rng.uniform(4, 60, k),
+            rng.uniform(-1.5, 1.5, k)], -1).astype(np.float32)
+
+    n = 260   # 3 blocks: exercises diag/upper/lower tiles
+    b = rand(n)
+    full = np.asarray(box_iou_rotated_pallas(b, b, interpret=True))
+    tri = np.asarray(box_iou_rotated_pallas(b, b, triu=True,
+                                            interpret=True))
+    blk = 128
+    iu = np.triu_indices(n)
+    bi, bj = iu[0] // blk, iu[1] // blk
+    upper = bj >= bi
+    assert np.abs(tri[iu[0][upper], iu[1][upper]]
+                  - full[iu[0][upper], iu[1][upper]]).max() < 1e-6
+    # strictly-lower BLOCKS are zeroed
+    il = np.tril_indices(n, k=-1)
+    low_blocks = (il[1] // blk) < (il[0] // blk)
+    assert np.abs(tri[il[0][low_blocks], il[1][low_blocks]]).max() == 0.0
+
+    batched = np.asarray(jax.vmap(
+        lambda bb: box_iou_rotated_pallas(bb, bb, triu=True,
+                                          interpret=True))(
+        np.stack([b, rand(n)])))
+    assert np.abs(batched[0] - tri).max() < 1e-6
