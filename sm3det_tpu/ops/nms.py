@@ -53,6 +53,16 @@ __all__ = [
 NEG_INF = -1e10
 
 
+def _topk_scores(flat_scores, k: int):
+    """``lax.top_k`` for NMS prefilters, routed to the sort-free
+    ``exact_topk`` selection when the input is large enough that the
+    variadic full sort dominates (same results; tests/test_topk.py)."""
+    if flat_scores.shape[0] >= 8192:
+        from .topk import exact_topk
+        return exact_topk(flat_scores, k)
+    return jax.lax.top_k(flat_scores, k)
+
+
 def bbox_overlaps(boxes1, boxes2, mode: str = "iou", aligned: bool = False,
                   eps: float = 1e-6):
     """Horizontal IoU/IoF, mirroring mmdet ``bbox_overlaps`` semantics."""
@@ -187,7 +197,13 @@ def nms(boxes, scores, iou_threshold: float, max_out: int,
     boxes_s = boxes[order]
     scores_s = scores[order]
     eligible = scores_s > score_thr
-    iou = bbox_overlaps(boxes_s, boxes_s)
+    if jax.default_backend() == "tpu" and n >= 256:
+        # tiled kernel skips sub-diagonal blocks; XLA materializes the
+        # broadcasted (N, N, 2) min/max intermediates (device trace)
+        from .pallas.hbb_iou_kernel import hbb_iou_pallas
+        iou = hbb_iou_pallas(boxes_s, boxes_s, triu=True)
+    else:
+        iou = bbox_overlaps(boxes_s, boxes_s)
     keep = greedy_keep(iou > iou_threshold, eligible)
     ob, os, oi, ov = _finalize(boxes_s, scores_s, order, keep, max_out)
     dets = jnp.concatenate([ob, os[:, None]], axis=-1)
@@ -260,7 +276,7 @@ def multiclass_nms_rotated(multi_bboxes, multi_scores, score_thr: float,
 
     flat_scores = scores.reshape(-1)
     k = min(pre_nms, flat_scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    top_scores, top_idx = _topk_scores(flat_scores, k)
     box_idx = top_idx // num_classes
     cls_idx = top_idx % num_classes
     cand_boxes = bboxes[box_idx, cls_idx]               # (k, 5)
@@ -294,7 +310,7 @@ def multiclass_nms(multi_bboxes, multi_scores, score_thr: float,
             multi_bboxes[:, None, :], (n, num_classes, 4))
     flat_scores = scores.reshape(-1)
     k = min(pre_nms, flat_scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    top_scores, top_idx = _topk_scores(flat_scores, k)
     box_idx = top_idx // num_classes
     cls_idx = top_idx % num_classes
     cand_boxes = bboxes[box_idx, cls_idx]

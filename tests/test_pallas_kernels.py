@@ -359,3 +359,38 @@ def test_pallas_iou_triu_upper_matches_and_vmap_safe():
                                           interpret=True))(
         np.stack([b, rand(n)])))
     assert np.abs(batched[0] - tri).max() < 1e-6
+
+
+def test_pallas_hbb_iou_matches_bbox_overlaps():
+    import jax
+
+    from sm3det_tpu.ops.nms import bbox_overlaps
+    from sm3det_tpu.ops.pallas.hbb_iou_kernel import hbb_iou_pallas
+
+    rng = np.random.RandomState(2)
+
+    def rand(k):
+        x1 = rng.uniform(0, 300, k)
+        y1 = rng.uniform(0, 300, k)
+        return np.stack([x1, y1, x1 + rng.uniform(1, 80, k),
+                         y1 + rng.uniform(1, 80, k)], -1).astype(np.float32)
+
+    n, m = 150, 270
+    b1, b2 = rand(n), rand(m)
+    got = np.asarray(hbb_iou_pallas(b1, b2, interpret=True))
+    ref = np.asarray(bbox_overlaps(b1, b2))
+    assert got.shape == (n, m)
+    assert np.abs(got - ref).max() < 1e-6
+
+    bb = rand(260)
+    tri = np.asarray(hbb_iou_pallas(bb, bb, triu=True,
+                                    interpret=True))
+    full = np.asarray(bbox_overlaps(bb, bb))
+    iu = np.triu_indices(260)
+    up = (iu[1] // 128) >= (iu[0] // 128)
+    assert np.abs(tri[iu[0][up], iu[1][up]]
+                  - full[iu[0][up], iu[1][up]]).max() < 1e-6
+    batched = np.asarray(jax.vmap(
+        lambda b: hbb_iou_pallas(b, b, triu=True, interpret=True))(
+        np.stack([bb, rand(260)])))
+    assert np.abs(batched[0] - tri).max() < 1e-6
