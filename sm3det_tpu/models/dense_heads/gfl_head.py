@@ -23,7 +23,7 @@ from flax import linen as nn
 from ...core.anchor import AnchorGenerator
 from ...core.bbox.assigners import atss_assign
 from ...core.bbox.coders import DistancePointBBoxCoder
-from ...ops.nms import bbox_overlaps, multiclass_nms
+from ...ops.nms import _topk_scores, bbox_overlaps, multiclass_nms
 from ..layers import Scale
 from ..losses import distribution_focal_loss, giou_loss, quality_focal_loss
 
@@ -204,7 +204,7 @@ def gfl_get_bboxes(cls_scores, bbox_preds,
             boxes = DistancePointBBoxCoder().decode(
                 centers, dist, max_shape=img_shape)           # (A, 4)
             k = min(nms_pre, scores.shape[0])
-            top_vals, top_idx = jax.lax.top_k(jnp.max(scores, -1), k)
+            top_vals, top_idx = _topk_scores(jnp.max(scores, -1), k)
             cand_boxes.append(boxes[top_idx])
             cand_scores.append(scores[top_idx])
         boxes = jnp.concatenate(cand_boxes, 0)

@@ -24,7 +24,7 @@ from ...core.bbox.assigners import max_iou_assign
 from ...core.bbox.coders import MidpointOffsetCoder
 from ...core.bbox.samplers import random_sample
 from ...ops.box_convert import obb2xyxy
-from ...ops.nms import bbox_overlaps, nms
+from ...ops.nms import _topk_scores, bbox_overlaps, nms
 from ..losses import sigmoid_cross_entropy, smooth_l1_loss
 
 
@@ -137,7 +137,7 @@ def rpn_get_proposals(cls_scores, bbox_preds,
             scores = jax.nn.sigmoid(cls_s.reshape(-1))
             deltas = reg_s.reshape(-1, 6)
             k = min(nms_pre, scores.shape[0])
-            top_vals, top_idx = jax.lax.top_k(scores, k)
+            top_vals, top_idx = _topk_scores(scores, k)
             obbs = coder.decode(anchors_l[lvl][top_idx], deltas[top_idx])
             # NOTE: no image clipping — the reference's
             # MidpointOffsetCoder.decode accepts max_shape but never
@@ -171,7 +171,7 @@ def rpn_get_proposals(cls_scores, bbox_preds,
                 [scores, jnp.full((pad,), -jnp.inf, scores.dtype)], 0)
             obbs = jnp.concatenate(
                 [obbs, jnp.zeros((pad, 5), obbs.dtype)], 0)
-        top_s, top_i = jax.lax.top_k(scores, max_per_img)
+        top_s, top_i = _topk_scores(scores, max_per_img)
         valid = jnp.isfinite(top_s)
         out_obbs = jnp.where(valid[:, None], obbs[top_i], 0.0)
         out_scores = jnp.where(valid, top_s, 0.0)

@@ -22,7 +22,7 @@ import numpy as np
 from ...core.anchor import RotatedAnchorGenerator
 from ...core.bbox.assigners import max_iou_assign
 from ...core.bbox.coders import DeltaXYWHAOBBoxCoder
-from ...ops.nms import multiclass_nms_rotated
+from ...ops.nms import _topk_scores, multiclass_nms_rotated
 from ...ops.rotated_iou import box_iou_rotated_chunked
 from ..losses import sigmoid_focal_loss, smooth_l1_loss
 
@@ -211,7 +211,7 @@ def retina_get_bboxes(cls_scores, bbox_preds, anchor_generator,
             scores = jax.nn.sigmoid(cls_s.reshape(-1, num_classes))
             deltas = reg_s.reshape(-1, 5)
             k = min(nms_pre, scores.shape[0])
-            _, top_idx = jax.lax.top_k(jnp.max(scores, -1), k)
+            _, top_idx = _topk_scores(jnp.max(scores, -1), k)
             obbs = coder.decode(anchors_l[lvl][top_idx], deltas[top_idx])
             cand_boxes.append(obbs)
             cand_scores.append(scores[top_idx])

@@ -14,7 +14,7 @@ from flax import linen as nn
 from ...core.bbox.assigners import max_iou_assign
 from ...core.bbox.coders import DeltaXYWHBBoxCoder
 from ...core.bbox.samplers import random_sample
-from ...ops.nms import bbox_overlaps, nms
+from ...ops.nms import _topk_scores, bbox_overlaps, nms
 from ..losses import sigmoid_cross_entropy, smooth_l1_loss
 
 
@@ -95,7 +95,7 @@ def hbb_rpn_get_proposals(cls_scores, bbox_preds, anchor_generator,
             scores = jax.nn.sigmoid(cls_s.reshape(-1))
             deltas = reg_s.reshape(-1, 4)
             k = min(nms_pre, scores.shape[0])
-            top_vals, top_idx = jax.lax.top_k(scores, k)
+            top_vals, top_idx = _topk_scores(scores, k)
             boxes = coder.decode(anchors_l[lvl][top_idx],
                                  deltas[top_idx], max_shape=img_shape)
             boxes_all.append(boxes)
