@@ -94,3 +94,22 @@ class RotatedAnchorGenerator(AnchorGenerator):
             out.append(jnp.stack(
                 [cx, cy, w, h, jnp.zeros_like(cx)], axis=-1))
         return out
+
+
+class PseudoAnchorGenerator(AnchorGenerator):
+    """Anchor-free stand-in that only provides per-level valid flags
+    (``mmrotate/core/anchor/anchor_generator.py:55``): one pseudo anchor
+    per grid point, ``grid_anchors`` unsupported by design (RepPoints-style
+    heads generate their own points)."""
+
+    def __init__(self, strides):
+        self.strides = [s if isinstance(s, (tuple, list)) else (s, s)
+                        for s in strides]
+
+    @property
+    def num_base_anchors(self):
+        return [1 for _ in self.strides]
+
+    def grid_anchors(self, featmap_sizes):
+        raise NotImplementedError(
+            "PseudoAnchorGenerator provides valid flags only")

@@ -275,9 +275,9 @@ def smooth_focal_loss(logits, labels, gamma=2.0, alpha=0.25,
     return _reduce(loss, weight, avg_factor)
 
 
-def kld_loss(pred, target, fun="log1p", tau=1.0,
-             weight=None, avg_factor=None):
-    """Kullback-Leibler divergence loss between box Gaussians."""
+def _kld_gauss_distance(pred, target):
+    """Raw (un-sqrted) KL divergence KL(pred || target) between box
+    Gaussians (``gaussian_dist_loss.py:156 kld_loss`` inner math)."""
     mu_p, sig_p = obb2gaussian(pred)
     mu_t, sig_t = obb2gaussian(target)
     delta = (mu_p - mu_t)[..., None]                  # (..., 2, 1)
@@ -288,16 +288,65 @@ def kld_loss(pred, target, fun="log1p", tau=1.0,
     term3 = jnp.log(jnp.clip(
         jnp.linalg.det(sig_t) / jnp.clip(jnp.linalg.det(sig_p), 1e-7),
         1e-7))
-    dist = 0.5 * (term1 + term2 + term3 - 2)
-    dist = jnp.clip(dist, 0)
+    return jnp.clip(0.5 * (term1 + term2 + term3 - 2), 0)
+
+
+def _gd_postprocess(dist, fun, tau, weight, avg_factor, sqrt=True):
+    """Shared GDLoss post-processing (``gaussian_dist_loss.py:60``)."""
+    if sqrt:
+        dist = jnp.sqrt(jnp.clip(dist, 1e-7))
     if fun == "log1p":
-        loss = jnp.log1p(jnp.sqrt(jnp.clip(dist, 1e-7)))
+        loss = jnp.log1p(dist)
     elif fun == "sqrt":
         loss = jnp.sqrt(jnp.clip(dist, 1e-7))
     else:
         loss = dist
     loss = 1 - 1 / (tau + loss) if tau >= 1.0 else loss
     return _reduce(loss, weight, avg_factor)
+
+
+def kld_loss(pred, target, fun="log1p", tau=1.0,
+             weight=None, avg_factor=None):
+    """Kullback-Leibler divergence loss between box Gaussians."""
+    return _gd_postprocess(_kld_gauss_distance(pred, target),
+                           fun, tau, weight, avg_factor)
+
+
+def jd_loss(pred, target, fun="log1p", tau=1.0,
+            weight=None, avg_factor=None):
+    """Jeffreys (symmetric-KL) divergence loss
+    (``gaussian_dist_loss.py:206 jd_loss``): mean of both KL directions,
+    sqrted then post-processed."""
+    jd = 0.5 * (_kld_gauss_distance(pred, target)
+                + _kld_gauss_distance(target, pred))
+    return _gd_postprocess(jd, fun, tau, weight, avg_factor)
+
+
+def kld_symmax_loss(pred, target, fun="log1p", tau=1.0,
+                    weight=None, avg_factor=None):
+    """Symmetric-max KLD (``gaussian_dist_loss.py:243``): elementwise max
+    of the two sqrted KL directions."""
+    d = jnp.maximum(jnp.sqrt(jnp.clip(_kld_gauss_distance(pred, target), 1e-7)),
+                    jnp.sqrt(jnp.clip(_kld_gauss_distance(target, pred), 1e-7)))
+    return _gd_postprocess(d, fun, tau, weight, avg_factor, sqrt=False)
+
+
+def kld_symmin_loss(pred, target, fun="log1p", tau=1.0,
+                    weight=None, avg_factor=None):
+    """Symmetric-min KLD (``gaussian_dist_loss.py:274``)."""
+    d = jnp.minimum(jnp.sqrt(jnp.clip(_kld_gauss_distance(pred, target), 1e-7)),
+                    jnp.sqrt(jnp.clip(_kld_gauss_distance(target, pred), 1e-7)))
+    return _gd_postprocess(d, fun, tau, weight, avg_factor, sqrt=False)
+
+
+#: GDLoss variant bag (``gaussian_dist_loss.py:330 BAG_GD_LOSS``).
+BAG_GD_LOSS = {
+    "gwd": gwd_loss,
+    "kld": kld_loss,
+    "jd": jd_loss,
+    "kld_symmax": kld_symmax_loss,
+    "kld_symmin": kld_symmin_loss,
+}
 
 
 # --------------------------------------------------------------------------

@@ -31,6 +31,7 @@ __all__ = [
     "rbbox_flip",
     "poly2obb_np",
     "obb2poly_np",
+    "gaussian2bbox",
 ]
 
 
@@ -233,3 +234,27 @@ def obb2poly_np(obbs: np.ndarray, version: str = "le90") -> np.ndarray:
     return np.stack([x - wx - hx, y - wy - hy, x + wx - hx, y + wy - hy,
                      x + wx + hx, y + wy + hy, x - wx + hx, y - wy + hy],
                     -1).astype(np.float32)
+
+
+def gaussian2bbox(mu, var):
+    """Convert 2-D Gaussians back to corner polygons via SVD
+    (``mmrotate/core/bbox/transforms.py:883 gaussian2bbox``; the reference
+    takes a GMM object and requires torch_batch_svd — here plain
+    ``(mu, var)`` arrays and ``jnp.linalg.svd``, fully jittable).
+
+    Args:
+        mu: (..., 2) Gaussian means.
+        var: (..., 2, 2) SPD covariance matrices.
+    Returns:
+        (..., 8) polygons (x0,y0,...,x3,y3), L = 3-sigma box.
+    """
+    L = 3.0
+    mu = jnp.asarray(mu)
+    var = jnp.asarray(var)
+    u, s, vt = jnp.linalg.svd(var)
+    size_half = L * jnp.sqrt(jnp.clip(s, 0.0))[..., None, :]   # (...,1,2)
+    dx_dy = size_half * jnp.asarray(
+        [[-1.0, 1.0], [1.0, 1.0], [1.0, -1.0], [-1.0, -1.0]], mu.dtype)
+    # rows of vt are the principal axes; rotate offsets into image frame
+    corners = mu[..., None, :] + dx_dy @ vt
+    return corners.reshape(corners.shape[:-2] + (8,))

@@ -118,3 +118,59 @@ def test_moe_sort_dispatch_matches_sequential_rule():
         seen[e] = seen.get(e, 0) + 1
     assert abs(drop - float(np.mean(pos >= cap))) < 1e-6
     assert bool(np.isfinite(np.asarray(y)).all())
+
+
+def test_gd_loss_bag_variants():
+    """GDLoss bag parity (gaussian_dist_loss.py:330 BAG_GD_LOSS): jd is
+    symmetric, symmax >= symmin, identical boxes give ~zero distance."""
+    import jax.numpy as jnp
+    from sm3det_tpu.models.losses import (
+        BAG_GD_LOSS, jd_loss, kld_symmax_loss, kld_symmin_loss)
+
+    assert set(BAG_GD_LOSS) == {"gwd", "kld", "jd", "kld_symmax",
+                                "kld_symmin"}
+    a = jnp.asarray([[50., 40., 30., 12., 0.4],
+                     [10., 20., 8., 6., -0.7]])
+    b = jnp.asarray([[52., 41., 28., 14., 0.3],
+                     [11., 19., 9., 5., -0.5]])
+    jab = jd_loss(a, b, fun="none")
+    jba = jd_loss(b, a, fun="none")
+    assert jnp.allclose(jab, jba, atol=1e-5)
+    mx = kld_symmax_loss(a, b, fun="none")
+    mn = kld_symmin_loss(a, b, fun="none")
+    assert float(mx) >= float(mn) - 1e-6
+    self_d = jd_loss(a, a, fun="none")
+    assert float(self_d) < 0.05
+    for name, fn in BAG_GD_LOSS.items():
+        v = fn(a, b)
+        assert jnp.isfinite(v), name
+
+
+def test_gaussian2bbox_roundtrip():
+    """gaussian2bbox (transforms.py:883): poly -> gt2gaussian -> SVD box
+    reproduces the source geometry."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sm3det_tpu.ops.box_convert import (
+        gaussian2bbox, obb2poly_np, poly2obb_np)
+    from sm3det_tpu.models.losses import poly_gaussian
+
+    obb = np.array([[50., 40., 30., 12., 0.4],
+                    [80., 70., 22., 10., -1.1]], np.float32)
+    poly = obb2poly_np(obb, "le90")
+    mu, var = poly_gaussian(jnp.asarray(poly))
+    back = poly2obb_np(np.asarray(gaussian2bbox(mu, var)), "le90")
+    assert np.allclose(obb[:, :4], back[:, :4], atol=0.5)
+
+
+def test_pseudo_anchor_generator():
+    """PseudoAnchorGenerator (anchor_generator.py:55): valid-flag-only
+    generator — one base anchor per level, grid_anchors raises."""
+    import pytest
+    from sm3det_tpu.core.anchor import PseudoAnchorGenerator
+
+    gen = PseudoAnchorGenerator(strides=[8, 16, 32])
+    assert gen.num_base_anchors == [1, 1, 1]
+    assert gen.strides == [(8, 8), (16, 16), (32, 32)]
+    with pytest.raises(NotImplementedError):
+        gen.grid_anchors([(16, 16)])
