@@ -350,6 +350,82 @@ BAG_GD_LOSS = {
 
 
 # --------------------------------------------------------------------------
+# GDLoss_v1 family (gaussian_dist_loss_v1.py) — the "1 - 1/(tau + f(d))"
+# normalized forms used by the KLD/GWD paper configs
+# --------------------------------------------------------------------------
+
+def _gd_v1_postprocess(dis, fun, tau, weight, avg_factor):
+    dis = jnp.clip(dis, 1e-6)
+    if fun == "sqrt":
+        loss = 1 - 1 / (tau + jnp.sqrt(dis))
+    elif fun == "log1p":
+        loss = 1 - 1 / (tau + jnp.log1p(dis))
+    else:
+        loss = 1 - 1 / (tau + dis)
+    return _reduce(loss, weight, avg_factor)
+
+
+def gwd_v1_loss(pred, target, fun="sqrt", tau=2.0,
+                weight=None, avg_factor=None):
+    """Un-normalized GWD, v1 form (``gaussian_dist_loss_v1.py:38``)."""
+    mu_p, sig_p = obb2gaussian(pred)
+    mu_t, sig_t = obb2gaussian(target)
+    xy_dist = jnp.sum((mu_p - mu_t) ** 2, axis=-1)
+    tr = jnp.trace(sig_p, axis1=-2, axis2=-1) + \
+        jnp.trace(sig_t, axis1=-2, axis2=-1)
+    prod = sig_p @ sig_t
+    det_sqrt = jnp.sqrt(jnp.clip(
+        jnp.linalg.det(sig_p) * jnp.linalg.det(sig_t), 0))
+    tr_prod = jnp.trace(prod, axis1=-2, axis2=-1)
+    cross = jnp.sqrt(jnp.clip(tr_prod + 2 * det_sqrt, 0))
+    dis = xy_dist + tr - 2 * cross
+    if fun not in ("sqrt", "log1p"):
+        # v1 'none' branch: log1p(sqrt(d)/scale) with quartic-root scale
+        scale = 2 * jnp.clip(jnp.sqrt(jnp.sqrt(jnp.clip(det_sqrt, 0))), 1e-7)
+        loss = jnp.log1p(jnp.sqrt(jnp.clip(dis, 1e-6)) / scale)
+        return _reduce(loss, weight, avg_factor)
+    return _gd_v1_postprocess(dis, fun, tau, weight, avg_factor)
+
+
+def bcd_loss(pred, target, fun="log1p", tau=1.0,
+             weight=None, avg_factor=None):
+    """Bhattacharyya distance loss (``gaussian_dist_loss_v1.py:76``):
+    d = 0.5*log(det(S)/sqrt(det(Sp)det(St))) + delta^T S^-1 delta / 8,
+    S = (Sp + St)/2."""
+    mu_p, sig_p = obb2gaussian(pred)
+    mu_t, sig_t = obb2gaussian(target)
+    delta = (mu_p - mu_t)[..., None]
+    sig = 0.5 * (sig_p + sig_t)
+    sig_inv = jnp.linalg.inv(sig)
+    term1 = jnp.log(jnp.clip(
+        jnp.linalg.det(sig)
+        / jnp.clip(jnp.sqrt(jnp.clip(
+            jnp.linalg.det(sig_t @ sig_p), 0)), 1e-7), 1e-7))
+    term2 = jnp.squeeze(
+        jnp.swapaxes(delta, -1, -2) @ sig_inv @ delta, (-1, -2))
+    dis = 0.5 * term1 + 0.125 * term2
+    return _gd_v1_postprocess(dis, fun, tau, weight, avg_factor)
+
+
+def kld_v1_loss(pred, target, fun="log1p", tau=1.0,
+                weight=None, avg_factor=None):
+    """KLD, v1 normalized form (``gaussian_dist_loss_v1.py:116``): the
+    raw distance is 2x the 0.5-scaled KL used by kld_loss."""
+    dis = 2.0 * _kld_gauss_distance(pred, target)
+    if fun != "sqrt":
+        fun = "log1p"   # v1 kld only has sqrt/log1p branches
+    return _gd_v1_postprocess(dis, fun, tau, weight, avg_factor)
+
+
+#: GDLoss_v1 variant bag (``gaussian_dist_loss_v1.py:170``).
+BAG_GD_LOSS_V1 = {
+    "gwd": gwd_v1_loss,
+    "bcd": bcd_loss,
+    "kld": kld_v1_loss,
+}
+
+
+# --------------------------------------------------------------------------
 # RepPoints point-set losses
 # --------------------------------------------------------------------------
 
@@ -438,3 +514,56 @@ def spatial_border_loss(pts, gt_polys, weight, avg_factor=None):
     if avg_factor is not None:
         return loss  # already a mean over out-border points
     return loss
+
+
+def _extreme_corners(pts):
+    """(N, K, 2) -> (N, 8) extreme points [left_xy, up_xy, right_xy,
+    bottom_xy] (``convex_giou_loss.py:146-169``)."""
+    ix_l = jnp.argmin(pts[..., 0], axis=-1)
+    ix_r = jnp.argmax(pts[..., 0], axis=-1)
+    iy_u = jnp.argmin(pts[..., 1], axis=-1)
+    iy_b = jnp.argmax(pts[..., 1], axis=-1)
+    take = jnp.take_along_axis
+    sel = lambda idx: take(pts, idx[:, None, None], axis=1)[:, 0]  # noqa: E731
+    return jnp.concatenate(
+        [sel(ix_l), sel(iy_u), sel(ix_r), sel(iy_b)], axis=-1)
+
+
+def bc_convex_giou_loss(pred_pts, gt_polys, weight=None, avg_factor=None):
+    """Border-constrained convex GIoU loss
+    (``convex_giou_loss.py:118 BCConvexGIoULossFuction``): smooth-L1 on
+    point-set means and extreme corners, aspect-ratio-damped, plus
+    ``1 - (1 - 2w) * convex_giou``. Gradients by autodiff (the reference
+    routes a hand-written CUDA gradient through a torch Function).
+
+    Args:
+        pred_pts: (N, K, 2) predicted point sets.
+        gt_polys: (N, 8) assigned gt quads.
+    """
+    from ..ops.geometry_extras import convex_giou
+
+    n = pred_pts.shape[0]
+    gious = convex_giou(pred_pts, gt_polys)
+
+    pred_corners = _extreme_corners(pred_pts)
+    target_corners = _extreme_corners(gt_polys.reshape(n, 4, 2))
+    pred_mean = jnp.mean(pred_pts, axis=1)
+    target_mean = jnp.mean(gt_polys.reshape(n, 4, 2), axis=1)
+
+    beta = 1.0
+
+    def smooth(x):
+        ax = jnp.abs(x)
+        return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+    diff_mean_loss = jnp.sum(smooth(pred_mean - target_mean)) / n
+    diff_corners_loss = jnp.sum(smooth(pred_corners - target_corners)) / n
+
+    quad = gt_polys.reshape(n, 4, 2)
+    edge1 = jnp.linalg.norm(quad[:, 0] - quad[:, 1], axis=-1)
+    edge2 = jnp.linalg.norm(quad[:, 1] - quad[:, 2], axis=-1)
+    aspect = jnp.maximum(edge1, edge2) / jnp.clip(
+        jnp.minimum(edge1, edge2), 1e-6)
+    w = jnp.exp(-0.25 * aspect)
+    loss = w * (diff_mean_loss + diff_corners_loss) + 1 - (1 - 2 * w) * gious
+    return _reduce(loss, weight, avg_factor)

@@ -83,10 +83,16 @@ def min_area_polygons(points, valid=None):
     d = (pj - pi).reshape(points.shape[:-2] + (n * n, 2))
     dv = (valid[..., :, None] & valid[..., None, :]).reshape(
         points.shape[:-2] + (n * n,))
-    norm = jnp.linalg.norm(d, axis=-1)
-    ok = dv & (norm > 1e-6)
-    ux = jnp.where(ok, d[..., 0] / jnp.maximum(norm, 1e-6), 1.0)
-    uy = jnp.where(ok, d[..., 1] / jnp.maximum(norm, 1e-6), 0.0)
+    norm_sq = jnp.sum(d * d, axis=-1)
+    ok = dv & (norm_sq > 1e-12)
+    # double-where: sqrt/division must never see the degenerate (i == j)
+    # zero directions, or their NaN cotangents poison the whole gradient
+    # (0 * NaN = NaN through jnp.where).
+    d_safe = jnp.where(ok[..., None], d,
+                       jnp.asarray([1.0, 0.0], d.dtype))
+    norm = jnp.sqrt(jnp.sum(d_safe * d_safe, axis=-1))
+    ux = jnp.where(ok, d_safe[..., 0] / norm, 1.0)
+    uy = jnp.where(ok, d_safe[..., 1] / norm, 0.0)
 
     # project points on each direction frame: (..., D, N)
     px = points[..., None, :, 0]

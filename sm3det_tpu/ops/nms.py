@@ -44,6 +44,7 @@ __all__ = [
     "bbox_overlaps",
     "greedy_keep",
     "nms",
+    "soft_nms",
     "batched_nms",
     "nms_rotated",
     "multiclass_nms_rotated",
@@ -208,6 +209,49 @@ def nms(boxes, scores, iou_threshold: float, max_out: int,
     ob, os, oi, ov = _finalize(boxes_s, scores_s, order, keep, max_out)
     dets = jnp.concatenate([ob, os[:, None]], axis=-1)
     return dets, oi, ov
+
+
+def soft_nms(boxes, scores, iou_threshold: float = 0.3, max_out: int = 100,
+             sigma: float = 0.5, min_score: float = 1e-3,
+             method: str = "linear"):
+    """Soft-NMS with static output size (mmcv ``ops/nms.py soft_nms``;
+    CPU kernel ``csrc/pytorch/nms.cpp softnms_impl``).
+
+    Instead of hard suppression, each selected box decays the scores of
+    its overlaps — ``linear``: ``s *= 1 - iou`` when ``iou > thr``;
+    ``gaussian``: ``s *= exp(-iou^2 / sigma)``; ``naive``: hard zeroing.
+    Sequential max-selection is an ``lax.scan`` of ``max_out`` O(N) steps
+    over a precomputed (N, N) IoU matrix — no host sync, one compile.
+
+    Returns:
+        (dets, idx, valid): dets (max_out, 5) with the *decayed* score;
+        idx (max_out,) indices into the input (or -1); valid (max_out,).
+    """
+    n = boxes.shape[0]
+    iou = bbox_overlaps(boxes, boxes)
+    iou = iou * (1.0 - jnp.eye(n, dtype=iou.dtype))
+
+    def step(cur, _):
+        i = jnp.argmax(cur)
+        s_i = cur[i]
+        row = iou[i]
+        if method == "gaussian":
+            w = jnp.exp(-(row * row) / sigma)
+        elif method == "naive":
+            w = jnp.where(row > iou_threshold, 0.0, 1.0)
+        else:   # linear
+            w = jnp.where(row > iou_threshold, 1.0 - row, 1.0)
+        nxt = (cur * w).at[i].set(NEG_INF)
+        return nxt, (i, s_i)
+
+    _, (sel, sel_scores) = jax.lax.scan(
+        step, scores.astype(jnp.float32), None, length=max_out)
+    valid = sel_scores > min_score
+    sel_safe = jnp.where(valid, sel, 0)
+    out_boxes = boxes[sel_safe] * valid[:, None]
+    out_scores = jnp.where(valid, sel_scores, 0.0)
+    dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=-1)
+    return dets, jnp.where(valid, sel, -1), valid
 
 
 def batched_nms(boxes, scores, idxs, iou_threshold: float, max_out: int,

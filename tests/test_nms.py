@@ -103,3 +103,47 @@ def test_multiclass_nms_rotated():
     # sorted by score: 0.9(cls0), 0.85(cls1), 0.8(cls0)
     assert np.allclose(dets[:, 5], [0.9, 0.85, 0.8], atol=1e-5)
     assert labels.tolist() == [0, 1, 0]
+
+
+def test_soft_nms_matches_sequential_reference():
+    """soft_nms (mmcv ops/nms.py): jitted scan output == a python
+    sequential soft-NMS on the same inputs, for all three methods."""
+    import jax, numpy as np
+    import jax.numpy as jnp
+    from sm3det_tpu.ops.nms import soft_nms, bbox_overlaps
+
+    rng = np.random.RandomState(7)
+    n = 60
+    x1 = rng.uniform(0, 200, n); y1 = rng.uniform(0, 200, n)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(5, 60, n),
+                      y1 + rng.uniform(5, 60, n)], -1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    iou = np.array(bbox_overlaps(boxes, boxes))
+    np.fill_diagonal(iou, 0.0)
+
+    for method in ("linear", "gaussian", "naive"):
+        cur = scores.astype(np.float64).copy()
+        ref_sel, ref_scores = [], []
+        for _ in range(20):
+            i = int(np.argmax(cur)); s = cur[i]
+            ref_sel.append(i); ref_scores.append(s)
+            row = iou[i]
+            if method == "gaussian":
+                w = np.exp(-(row ** 2) / 0.5)
+            elif method == "naive":
+                w = np.where(row > 0.3, 0.0, 1.0)
+            else:
+                w = np.where(row > 0.3, 1.0 - row, 1.0)
+            cur = cur * w
+            cur[i] = -1e10
+        dets, idx, valid = jax.jit(
+            lambda b, s: soft_nms(b, s, 0.3, 20, method=method))(
+                boxes, scores)
+        idx = np.asarray(idx); dets = np.asarray(dets)
+        got_valid = np.asarray(valid)
+        exp_valid = np.asarray(ref_scores) > 1e-3
+        assert (got_valid == exp_valid).all(), method
+        assert (idx[got_valid] == np.asarray(ref_sel)[exp_valid]).all(), method
+        assert np.allclose(dets[got_valid, 4],
+                           np.asarray(ref_scores)[exp_valid],
+                           atol=1e-4), method

@@ -174,3 +174,62 @@ def test_pseudo_anchor_generator():
     assert gen.strides == [(8, 8), (16, 16), (32, 32)]
     with pytest.raises(NotImplementedError):
         gen.grid_anchors([(16, 16)])
+
+
+def test_gd_loss_v1_bag():
+    """GDLoss_v1 bag (gaussian_dist_loss_v1.py:170): bcd matches a
+    textbook numpy Bhattacharyya computation; kld_v1 uses the same raw
+    distance as kld (x2); all variants finite and in [0, 1)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sm3det_tpu.models.losses import (
+        BAG_GD_LOSS_V1, bcd_loss, obb2gaussian)
+
+    assert set(BAG_GD_LOSS_V1) == {"gwd", "bcd", "kld"}
+    a = jnp.asarray([[50., 40., 30., 12., 0.4]])
+    b = jnp.asarray([[52., 41., 28., 14., 0.3]])
+
+    # numpy textbook Bhattacharyya distance between the two box Gaussians
+    mu_p, sp = (np.asarray(x)[0] for x in obb2gaussian(a))
+    mu_t, st = (np.asarray(x)[0] for x in obb2gaussian(b))
+    sig = 0.5 * (sp + st)
+    d = (mu_p - mu_t)
+    db = (0.125 * d @ np.linalg.inv(sig) @ d
+          + 0.5 * np.log(np.linalg.det(sig)
+                         / np.sqrt(np.linalg.det(sp) * np.linalg.det(st))))
+    expected = 1 - 1 / (1.0 + np.log1p(max(db, 1e-6)))
+    got = float(bcd_loss(a, b, fun="log1p", tau=1.0))
+    assert abs(got - expected) < 1e-5, (got, expected)
+
+    for name, fn in BAG_GD_LOSS_V1.items():
+        v = float(fn(a, b))
+        assert np.isfinite(v) and 0.0 <= v < 1.0, (name, v)
+        self_v = float(fn(a, a))
+        assert self_v <= v + 1e-6, (name, self_v, v)
+
+
+def test_bc_convex_giou_loss_and_grad():
+    """BCConvexGIoULoss (convex_giou_loss.py:118): finite value+grad,
+    perfect-match point sets score lower than scattered ones, and the
+    min_area_polygons gradient has no NaN from degenerate i==j pair
+    directions (double-where regression)."""
+    import jax, numpy as np
+    import jax.numpy as jnp
+    from sm3det_tpu.models.losses import bc_convex_giou_loss
+    from sm3det_tpu.ops.geometry_extras import min_area_polygons
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.uniform(10, 50, (4, 9, 2)).astype(np.float32))
+    quad = jnp.asarray(np.tile(
+        np.array([10., 10., 50., 10., 50., 50., 10., 50.], np.float32),
+        (4, 1)))
+    v, g = jax.value_and_grad(lambda p: bc_convex_giou_loss(p, quad))(pts)
+    assert np.isfinite(float(v))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    v_match = float(bc_convex_giou_loss(quad.reshape(4, 4, 2), quad))
+    assert v_match < float(v)
+
+    # direct NaN-grad regression on min_area_polygons
+    g2 = jax.grad(lambda p: jnp.sum(min_area_polygons(p)))(pts)
+    assert bool(jnp.all(jnp.isfinite(g2)))
