@@ -34,21 +34,38 @@ from .detectors.zoo_extra import (GRepPoints, RotatedATSS,
                                   RotatedFasterRCNN, RotatedRepPoints,
                                   SAMRepPoints)
 from .detectors.hbb_detectors import CascadeRCNN, FasterRCNN, RetinaNet
+from .dense_heads.rotated_retina_head import CSLRetinaHead
+from .dense_heads.rotated_fcos_head import CSLRotatedFCOSHead
+from .detectors.refine_detectors import ODMRefineHead, RefineHead
+from .backbones.re_resnet import ReFPN
+from .necks.fpn import SimpleFPN
 
 for name, cls in [
         ("ConvNeXt_moe", ConvNeXtMoE),
         ("ConvNeXt_moe_MultiInput", ConvNeXtMoE),
+        # DA baseline: same backbone class, use_da/da_block_inds cfg
+        # (reference ConvNeXt_DA_MultiInput, convnext_moe_DA.py:762)
+        ("ConvNeXt_DA_MultiInput", ConvNeXtMoE),
         ("LSKNet_moe", LSKNetMoE),
         ("LSKNet_moe_MultiInput", LSKNetMoE),
+        # plain (non-MoE) variants = empty moe_block_inds
+        # (reference lsknet.py:129, van.py)
+        ("LSKNet", LSKNetMoE),
+        ("VAN", VANMoE),
         ("VAN_moe", VANMoE),
         ("VAN_moe_MultiInput", VANMoE),
         ("SwinTransformer_moe", SwinMoE),
+        ("SwinTransformer_MoE", SwinMoE),
+        ("SwinTransformer", SwinMoE),
+        ("InternViT", InternViTAdapter),
         ("InternViTAdapter", InternViTAdapter),
         ("ReResNet", ReResNet)]:
     BACKBONES.register_module(name, module=cls)
 
 NECKS.register_module("FPN", module=FPN)
 NECKS.register_module("MultitaskFPN", module=MultitaskFPN)
+NECKS.register_module("ReFPN", module=ReFPN)
+NECKS.register_module("SimpleFPN", module=SimpleFPN)
 
 for name, cls in [
         ("GFLHead", GFLHead),
@@ -63,7 +80,26 @@ for name, cls in [
         ("HBB2OBBBBoxHead", HBB2OBBBBoxHead),
         ("RotatedATSSHead", RotatedATSSHead),
         ("RotatedRepPointsHead", RotatedRepPointsHead),
-        ("SAMRepPointsHead", SAMRepPointsHead)]:
+        ("SAMRepPointsHead", SAMRepPointsHead),
+        # CSL heads (csl_rotated_retina_head.py / csl_rotated_fcos_head.py)
+        ("CSLRRetinaHead", CSLRetinaHead),
+        ("CSLRFCOSHead", CSLRotatedFCOSHead),
+        # refine-stage heads (odm_refine_head.py,
+        # rotated_retina_refine_head.py); the KFIoU variants differ from
+        # these only in the box-loss family, which is the detector cfg's
+        # refine_reg_loss/reg_loss='kfiou' selector here
+        ("ODMRefineHead", ODMRefineHead),
+        ("RotatedRetinaRefineHead", RefineHead),
+        ("KFIoUODMRefineHead", ODMRefineHead),
+        ("KFIoURRetinaRefineHead", RefineHead),
+        ("KFIoURRetinaHead", RotatedRetinaHead),
+        # RotatedRPNHead (rotated_rpn_head.py): HBB-delta RPN used by
+        # RotatedFasterRCNN — the HBB RPNHead here
+        ("RotatedRPNHead", RPNHead),
+        # base-class names the reference registers (rotated_anchor_head
+        # .py:19, rotated_anchor_free_head.py): concrete forms here
+        ("RotatedAnchorHead", RotatedRetinaHead),
+        ("RotatedAnchorFreeHead", RotatedFCOSHead)]:
     HEADS.register_module(name, module=cls)
 
 for name, cls in [

@@ -77,7 +77,8 @@ class RotatedRetinaNet(nn.Module):
         coder = make_rcnn_coder(c.get("angle_version", "le90"))
         losses = retina_loss(
             cls_scores, bbox_preds, batch["gt_obbs"], batch["gt_labels"],
-            batch["gt_mask"], gen, coder, c["num_classes"])
+            batch["gt_mask"], gen, coder, c["num_classes"],
+            reg_loss=c.get("reg_loss", "smooth_l1"))
         if gate_loss is not None:
             losses["gate_loss"] = gate_loss
         return losses

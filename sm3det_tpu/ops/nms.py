@@ -55,10 +55,18 @@ NEG_INF = -1e10
 
 
 def _topk_scores(flat_scores, k: int):
-    """``lax.top_k`` for NMS prefilters, routed to the sort-free
-    ``exact_topk`` selection when the input is large enough that the
-    variadic full sort dominates (same results; tests/test_topk.py)."""
-    if flat_scores.shape[0] >= 8192:
+    """``lax.top_k`` for NMS prefilters.
+
+    The sort-free ``exact_topk`` selection (same results;
+    tests/test_topk.py) is available behind SM3DET_EXACT_TOPK_MIN
+    (trace-time size gate) but OFF by default: the end-to-end bench
+    A/B showed its 64-step sequential threshold search costs more than
+    the variadic bitonic sort it replaces at bench shapes
+    (97.2 vs 90.9 img/s) — the earlier per-op trace attribution did
+    not survive whole-graph measurement."""
+    import os
+    gate = os.environ.get("SM3DET_EXACT_TOPK_MIN")
+    if gate is not None and flat_scores.shape[0] >= int(gate):
         from .topk import exact_topk
         return exact_topk(flat_scores, k)
     return jax.lax.top_k(flat_scores, k)
@@ -198,7 +206,9 @@ def nms(boxes, scores, iou_threshold: float, max_out: int,
     boxes_s = boxes[order]
     scores_s = scores[order]
     eligible = scores_s > score_thr
-    if jax.default_backend() == "tpu" and n >= 256:
+    import os
+    hbb_gate = int(os.environ.get("SM3DET_HBB_IOU_PALLAS_MIN", "256"))
+    if jax.default_backend() == "tpu" and n >= hbb_gate:
         # tiled kernel skips sub-diagonal blocks; XLA materializes the
         # broadcasted (N, N, 2) min/max intermediates (device trace)
         from .pallas.hbb_iou_kernel import hbb_iou_pallas

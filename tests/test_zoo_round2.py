@@ -233,3 +233,37 @@ def test_bc_convex_giou_loss_and_grad():
     # direct NaN-grad regression on min_area_polygons
     g2 = jax.grad(lambda p: jnp.sum(min_area_polygons(p)))(pts)
     assert bool(jnp.all(jnp.isfinite(g2)))
+
+
+def test_registry_reference_name_parity():
+    """Every name the reference registers (mmrotate/models/*/__init__.py
+    __all__ lists) resolves in the corresponding registry here."""
+    from sm3det_tpu import models as m
+
+    ref_backbones = [
+        "ReResNet", "LSKNet", "ConvNeXt_moe_MultiInput",
+        "ConvNeXt_DA_MultiInput", "ConvNeXt_moe", "VAN_moe",
+        "VAN_moe_MultiInput", "VAN", "LSKNet_moe_MultiInput",
+        "SwinTransformer_MoE", "InternViT", "InternViTAdapter"]
+    ref_heads = [
+        "RotatedAnchorHead", "RotatedRetinaHead", "RotatedRPNHead",
+        "OrientedRPNHead", "RotatedRetinaRefineHead", "ODMRefineHead",
+        "KFIoURRetinaHead", "KFIoURRetinaRefineHead",
+        "KFIoUODMRefineHead", "RotatedRepPointsHead", "SAMRepPointsHead",
+        "CSLRRetinaHead", "RotatedATSSHead", "RotatedAnchorFreeHead",
+        "RotatedFCOSHead", "CSLRFCOSHead", "OrientedRepPointsHead"]
+    ref_necks = ["ReFPN", "SimpleFPN", "MultitaskFPN"]
+    ref_detectors = [
+        "GlidingVertex", "OrientedRCNN", "R3Det", "ReDet",
+        "RoITransformer", "RotatedFasterRCNN", "RotatedFCOS",
+        "RotatedRepPoints", "RotatedRetinaNet", "S2ANet",
+        "TriSourceDetector"]
+    for name in ref_backbones:
+        assert name in m.BACKBONES, name
+    for name in ref_heads:
+        assert name in m.HEADS, name
+    for name in ref_necks:
+        assert name in m.NECKS, name
+    for name in ref_detectors:
+        assert name in m.DETECTORS or name in ("TriSourceDetector",), name
+    assert "TriSourceDetector" in m.DETECTORS
