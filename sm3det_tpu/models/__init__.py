@@ -125,4 +125,30 @@ for name, cls in [
         ("RetinaNet", RetinaNet)]:
     DETECTORS.register_module(name, module=cls)
 
-__all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "build_from_cfg"]
+def normalize_model_cfg(mc):
+    """Translate reference head-type selectors into this library's cfg
+    keys, in place, and return ``mc``.
+
+    The KFIoU heads (reference ``kfiou_rotate_retina_head.py``,
+    ``kfiou_rotate_retina_refine_head.py``, ``kfiou_odm_refine_head.py``)
+    differ from their base heads only in the box-loss family; here that
+    family is selected by the detector-cfg ``reg_loss``/``refine_reg_loss``
+    keys.  A config ported verbatim from the reference carries only
+    ``type='KFIoU...'`` in the head sub-dict, so translate it — otherwise
+    such a config would silently train with smooth_l1.
+    """
+    def _head_type(d):
+        return d.get("type", "") if isinstance(d, dict) else ""
+
+    if _head_type(mc.get("bbox_head")).startswith("KFIoU"):
+        mc.setdefault("reg_loss", "kfiou")
+    for key in ("refine_head", "refine_heads"):
+        heads = mc.get(key)
+        heads = heads if isinstance(heads, (list, tuple)) else [heads]
+        if any(_head_type(h).startswith("KFIoU") for h in heads):
+            mc.setdefault("refine_reg_loss", "kfiou")
+    return mc
+
+
+__all__ = ["BACKBONES", "NECKS", "HEADS", "DETECTORS", "build_from_cfg",
+           "normalize_model_cfg"]

@@ -41,11 +41,11 @@ def test_local_config_builds_detector(path):
     """Every experiment config resolves to a registered detector class
     and instantiates the flax module (the reference's print_config-style
     build-everything regression, SURVEY.md §4)."""
-    from sm3det_tpu.models import DETECTORS
+    from sm3det_tpu.models import DETECTORS, normalize_model_cfg
     from sm3det_tpu.models.detectors.trisource_variants import \
         TriSourceVariant
     cfg = Config.fromfile(path)
-    mc = cfg.model.to_dict()
+    mc = normalize_model_cfg(cfg.model.to_dict())
     mtype = mc.pop("type")
     cls = DETECTORS.get(mtype)
     assert cls is not None, f"{mtype} not registered"
@@ -60,3 +60,22 @@ def test_local_config_builds_detector(path):
     else:
         m = cls(cfg=mc)
     assert m is not None
+
+
+def test_normalize_model_cfg_kfiou_translation():
+    """KFIoU* head types select the kfiou loss family even when the
+    config carries no explicit reg_loss key (reference parity:
+    ``kfiou_rotate_retina_head.py`` selects the loss by class)."""
+    from sm3det_tpu.models import normalize_model_cfg
+    mc = {"type": "RotatedRetinaNet",
+          "bbox_head": {"type": "KFIoURRetinaHead"}}
+    assert normalize_model_cfg(mc)["reg_loss"] == "kfiou"
+    mc = {"type": "S2ANet",
+          "bbox_head": {"type": "RotatedRetinaHead"},
+          "refine_head": {"type": "KFIoUODMRefineHead"}}
+    out = normalize_model_cfg(mc)
+    assert out["refine_reg_loss"] == "kfiou"
+    assert "reg_loss" not in out
+    # explicit keys win
+    mc = {"bbox_head": {"type": "KFIoURRetinaHead"}, "reg_loss": "gwd"}
+    assert normalize_model_cfg(mc)["reg_loss"] == "gwd"

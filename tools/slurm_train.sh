@@ -16,6 +16,11 @@ shift 3
 NODES=${NODES:-1}
 SRUN_ARGS=${SRUN_ARGS:-}
 
+# srun propagates the caller's environment, so export rather than wrap
+# in `sh -c` (which would re-split/glob-expand argv and mangle configs
+# or --cfg-options values containing spaces/brackets).
+export SM3DET_DIST=1
+
 srun -p "$PARTITION" \
     --job-name="$JOB_NAME" \
     --nodes="$NODES" \
@@ -23,4 +28,4 @@ srun -p "$PARTITION" \
     --ntasks-per-node=1 \
     --kill-on-bad-exit=1 \
     $SRUN_ARGS \
-    sh -c "SM3DET_DIST=1 python -u $(dirname "$0")/train.py $CONFIG $*"
+    python -u "$(dirname "$0")/train.py" "$CONFIG" "$@"

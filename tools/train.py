@@ -135,7 +135,8 @@ def main():
         # fixed-seed XLA graphs are deterministic; pin the one knob that
         # can vary numerics across runs/platform defaults
         jax.config.update("jax_default_matmul_precision", "highest")
-    model_cfg = cfg.model.to_dict()
+    from sm3det_tpu.models import normalize_model_cfg
+    model_cfg = normalize_model_cfg(cfg.model.to_dict())
     model_type = model_cfg.pop("type", "TriSourceDetector")
     pretrained = model_cfg["backbone"].pop("pretrained", None)
     if "moe_block_inds" in model_cfg["backbone"]:
