@@ -485,3 +485,83 @@ class StructuredSyntheticDetDataset(BaseDetDataset):
         hbbs = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
                         -1).astype(np.float32)
         return dict(img=img, hbbs=hbbs, labels=labels, img_id=str(idx))
+
+
+# ---------------------------------------------------------------------------
+# Config-driven builder (reference ``mmrotate/datasets/builder.py:36``):
+# wrapper types recurse, leaf types construct directly.
+# ---------------------------------------------------------------------------
+
+_LEAF_TYPES = {}
+
+
+def _register_leaves():
+    for name, cls in (("DOTADataset", DOTADataset),
+                      ("DOTA15Dataset", DOTA15Dataset),
+                      ("FairDataset", FairDataset),
+                      ("SSDDDataset", SSDDDataset),
+                      ("DroneVehicleDataset", DroneVehicleDataset),
+                      ("HRSCDataset", HRSCDataset),
+                      ("CocoDetDataset", CocoDetDataset),
+                      ("SyntheticDetDataset", SyntheticDetDataset),
+                      ("StructuredSyntheticDetDataset",
+                       StructuredSyntheticDetDataset)):
+        _LEAF_TYPES[name] = cls
+
+
+_register_leaves()
+
+# keys in a data config that parameterize the *pipeline*, not the dataset
+_PIPELINE_KEYS = ("pipeline", "max_gt")
+
+
+def build_dataset(dcfg, version: str = "le90", synthetic_fallback=None):
+    """Build a dataset tree from a config dict
+    (``mmrotate/datasets/builder.py:36-60`` semantics).
+
+    Wrapper types: ``ConcatDataset`` (key ``datasets``), ``RepeatDataset``
+    (keys ``dataset``, ``times``), ``ClassBalancedDataset`` (keys
+    ``dataset``, ``oversample_thr``) — each recurses on its children.
+    Leaf types construct directly; ``pipeline``/``max_gt`` keys are
+    stripped (they configure the loader pipeline, not the dataset).
+
+    ``synthetic_fallback``: optional kwargs dict for
+    ``SyntheticDetDataset``; when given and a leaf's filesystem paths are
+    absent, the leaf falls back to synthetic fixtures (the tools'
+    no-real-data mode).
+    """
+    import os
+
+    if hasattr(dcfg, "to_dict"):
+        dcfg = dcfg.to_dict()
+    dcfg = dict(dcfg)
+    for k in _PIPELINE_KEYS:
+        dcfg.pop(k, None)
+    dtype = dcfg.pop("type")
+    if dtype == "ConcatDataset":
+        return ConcatDataset([
+            build_dataset(c, version, synthetic_fallback)
+            for c in dcfg["datasets"]])
+    if dtype == "RepeatDataset":
+        return RepeatDataset(
+            build_dataset(dcfg["dataset"], version, synthetic_fallback),
+            times=dcfg.get("times", 1))
+    if dtype == "ClassBalancedDataset":
+        return ClassBalancedDataset(
+            build_dataset(dcfg["dataset"], version, synthetic_fallback),
+            oversample_thr=dcfg.get("oversample_thr", 1e-3))
+    cls = _LEAF_TYPES.get(dtype)
+    if cls is None:
+        raise KeyError(f"unknown dataset type {dtype!r}")
+    if cls in (SyntheticDetDataset, StructuredSyntheticDetDataset):
+        return cls(**dcfg)
+    paths_ok = all(os.path.exists(v) for k, v in dcfg.items()
+                   if isinstance(v, str) and "/" in v)
+    if not paths_ok:
+        if synthetic_fallback is not None:
+            return SyntheticDetDataset(**synthetic_fallback)
+        raise FileNotFoundError(
+            f"{dtype}: missing data paths in {dcfg}")
+    if cls is CocoDetDataset:
+        return cls(**dcfg)
+    return cls(**dcfg, version=version)

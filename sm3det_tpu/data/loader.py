@@ -23,11 +23,28 @@ MODALITIES = ("sar", "rgb", "ifr")
 
 
 class PipelineCfg:
+    """Per-modality train pipeline flags.
+
+    Mirrors the reference pipeline dicts
+    (``configs/_base_/datasets/SOI_Det.py:20-80``): the SAR branch uses
+    ``flip_prob=0.5`` horizontal only; RGB/IFR use 3-direction flip
+    ``[0.25, 0.25, 0.25]`` + ``PolyRandomRotate(rotate_ratio=0.5,
+    angles_range=180, rect_classes=[0,1,2,3,4,5,16,18])``.
+    ``crop_size``/``mosaic_prob`` expose RRandomCrop/RMosaic
+    (``mmrotate/datasets/pipelines/transforms.py:413,521``).
+    """
+
     def __init__(self, img_size: int = 800, max_gt: int = 256,
-                 flip_prob: float = 0.5, rotate_ratio: float = 0.0,
+                 flip_prob=0.5, rotate_ratio: float = 0.0,
                  version: str = "le90",
                  mean=(123.675, 116.28, 103.53),
-                 std=(58.395, 57.12, 57.375)):
+                 std=(58.395, 57.12, 57.375),
+                 flip_directions: Sequence[str] = ("horizontal",),
+                 angles_range: int = 180,
+                 rotate_mode: str = "range",
+                 discrete_angles: Sequence[float] = (),
+                 rect_classes: Sequence[int] = (),
+                 crop_size: Optional[Sequence[int]] = None):
         self.img_size = img_size
         self.max_gt = max_gt
         self.flip_prob = flip_prob
@@ -35,12 +52,38 @@ class PipelineCfg:
         self.version = version
         self.mean = mean
         self.std = std
+        self.flip_directions = tuple(flip_directions)
+        self.angles_range = angles_range
+        self.rotate_mode = rotate_mode
+        self.discrete_angles = tuple(discrete_angles)
+        self.rect_classes = tuple(rect_classes)
+        self.crop_size = tuple(crop_size) if crop_size else None
+
+    @classmethod
+    def from_config(cls, dcfg, img_size: int, version: str,
+                    max_gt: int = 256):
+        """Build from a ``data.<modality>`` config dict carrying an
+        optional ``pipeline`` sub-dict (the config-schema analogue of the
+        reference's per-branch pipeline lists)."""
+        p = dcfg.get("pipeline", {})
+        if hasattr(p, "to_dict"):
+            p = p.to_dict()
+        return cls(img_size=img_size, max_gt=max_gt, version=version,
+                   flip_prob=p.get("flip_ratio", 0.5),
+                   flip_directions=p.get("flip_directions",
+                                         ("horizontal",)),
+                   rotate_ratio=p.get("rotate_ratio", 0.0),
+                   angles_range=p.get("angles_range", 180),
+                   rotate_mode=p.get("rotate_mode", "range"),
+                   discrete_angles=p.get("discrete_angles", ()),
+                   rect_classes=p.get("rect_classes", ()),
+                   crop_size=p.get("crop_size"))
 
 
 def run_pipeline(rng: np.random.RandomState, sample: Dict,
                  cfg: PipelineCfg, train: bool = True) -> Dict:
     """LoadImage -> RResize -> RRandomFlip -> (PolyRandomRotate) ->
-    Normalize -> Pad -> fixed-size GT pack."""
+    (RRandomCrop) -> Normalize -> Pad -> fixed-size GT pack."""
     img = sample["img"]
     obbs = sample.get("obbs")
     hbbs = sample.get("hbbs")
@@ -50,11 +93,20 @@ def run_pipeline(rng: np.random.RandomState, sample: Dict,
         img, (cfg.img_size, cfg.img_size), obbs, hbbs, keep_ratio=True)
     if train:
         img, obbs, hbbs, _ = T.random_flip(
-            rng, img, obbs, hbbs, prob=cfg.flip_prob, version=cfg.version)
+            rng, img, obbs, hbbs, prob=cfg.flip_prob, version=cfg.version,
+            direction=cfg.flip_directions)
         if cfg.rotate_ratio > 0 and obbs is not None:
             img, obbs, labels = T.poly_random_rotate(
                 rng, img, obbs, labels, rotate_ratio=cfg.rotate_ratio,
-                version=cfg.version)
+                angles_range=cfg.angles_range, mode=cfg.rotate_mode,
+                discrete_angles=cfg.discrete_angles,
+                rect_classes=cfg.rect_classes, version=cfg.version)
+        if cfg.crop_size is not None and obbs is not None:
+            cimg, cobbs, clabels = T.random_crop(
+                rng, img, obbs, labels, cfg.crop_size,
+                allow_negative=False)
+            if cimg is not None:    # else: keep the uncropped sample
+                img, obbs, labels = cimg, cobbs, clabels
     img = T.normalize(img, cfg.mean, cfg.std)
     img = T.pad_to(img, (cfg.img_size, cfg.img_size))
 

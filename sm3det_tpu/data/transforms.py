@@ -78,24 +78,91 @@ def _resize_bilinear(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
     return top * (1 - ly) + bot * ly
 
 
+def flip_obbs(obbs: np.ndarray, img_shape: Tuple[int, int],
+              direction: str, version: str) -> np.ndarray:
+    """Flip OBBs for one direction (reference ``RRandomFlip.bbox_flip``,
+    ``mmrotate/datasets/pipelines/transforms.py:200-232``).
+
+    horizontal/vertical mirror one center axis and remap the angle:
+    ``oc`` swaps (w, h) and maps theta -> pi/2 - theta (for theta !=
+    pi/2); ``le135``/``le90`` map theta -> norm(pi - theta) (== -theta
+    mod pi). ``diagonal`` is a 180-degree rotation: both centers mirror,
+    the angle is unchanged. Centers mirror as c -> L - c (continuous
+    pixel coordinates; the reference uses the index convention L - c - 1).
+    """
+    h, w = img_shape
+    out = obbs.copy()
+    if direction in ("horizontal", "diagonal"):
+        out[:, 0] = w - obbs[:, 0]
+    if direction in ("vertical", "diagonal"):
+        out[:, 1] = h - obbs[:, 1]
+    if direction == "diagonal":
+        return out
+    if version == "oc":
+        rot = obbs[:, 4] != PI / 2
+        out[rot, 4] = PI / 2 - obbs[rot, 4]
+        out[rot, 2] = obbs[rot, 3]
+        out[rot, 3] = obbs[rot, 2]
+    else:
+        out[:, 4] = _norm_angle_np(PI - obbs[:, 4], version)
+    return out
+
+
+def flip_hbbs(hbbs: np.ndarray, img_shape: Tuple[int, int],
+              direction: str) -> np.ndarray:
+    """Flip xyxy HBBs for one direction (mmdet ``RandomFlip.bbox_flip``)."""
+    h, w = img_shape
+    out = hbbs.copy()
+    if direction in ("horizontal", "diagonal"):
+        out[:, 0] = w - hbbs[:, 2]
+        out[:, 2] = w - hbbs[:, 0]
+    if direction in ("vertical", "diagonal"):
+        out[:, 1] = h - hbbs[:, 3]
+        out[:, 3] = h - hbbs[:, 1]
+    return out
+
+
+_FLIP_SLICES = {"horizontal": (slice(None), slice(None, None, -1)),
+                "vertical": (slice(None, None, -1), slice(None)),
+                "diagonal": (slice(None, None, -1), slice(None, None, -1))}
+
+
 def random_flip(rng: np.random.RandomState, img, obbs=None, hbbs=None,
-                prob: float = 0.5, version: str = "le90"):
-    """RRandomFlip (``transforms.py:185-233``): horizontal flip remaps
-    cx -> W - cx and negates the angle."""
-    if rng.rand() >= prob:
+                prob=0.5, version: str = "le90",
+                direction="horizontal"):
+    """RRandomFlip (``transforms.py:185-233``). ``direction`` may be one
+    name or a list; ``prob`` a single ratio or a per-direction ratio list
+    (the reference's ``flip_ratio=[0.25, 0.25, 0.25]``,
+    ``direction=['horizontal', 'vertical', 'diagonal']`` form,
+    ``configs/_base_/datasets/SOI_Det.py:40-44``). A scalar ``prob`` with
+    several directions splits it uniformly (mmdet ``RandomFlip``).
+
+    Returns (img, obbs, hbbs, picked) where ``picked`` is the chosen
+    direction name or False.
+    """
+    dirs = [direction] if isinstance(direction, str) else list(direction)
+    if isinstance(prob, (int, float)):
+        probs = [float(prob) / len(dirs)] * len(dirs)
+    else:
+        probs = [float(p) for p in prob]
+    assert len(probs) == len(dirs) and sum(probs) <= 1.0 + 1e-6
+    r = rng.rand()
+    picked = False
+    acc = 0.0
+    for d, p in zip(dirs, probs):
+        acc += p
+        if r < acc:
+            picked = d
+            break
+    if not picked:
         return img, obbs, hbbs, False
-    w = img.shape[1]
-    img = img[:, ::-1].copy()
+    img = img[_FLIP_SLICES[picked]].copy()
+    shape = img.shape[:2]
     if obbs is not None and len(obbs):
-        obbs = obbs.copy()
-        obbs[:, 0] = w - obbs[:, 0]
-        obbs[:, 4] = _norm_angle_np(-obbs[:, 4], version)
+        obbs = flip_obbs(obbs, shape, picked, version)
     if hbbs is not None and len(hbbs):
-        hbbs = hbbs.copy()
-        x1 = w - hbbs[:, 2]
-        x2 = w - hbbs[:, 0]
-        hbbs[:, 0], hbbs[:, 2] = x1, x2
-    return img, obbs, hbbs, True
+        hbbs = flip_hbbs(hbbs, shape, picked)
+    return img, obbs, hbbs, picked
 
 
 def poly_random_rotate(rng: np.random.RandomState, img, obbs, labels,

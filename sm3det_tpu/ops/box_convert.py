@@ -172,17 +172,21 @@ def rbbox_flip(obbs, img_shape, direction: str = "horizontal",
     """
     x, y, w, h, a = (obbs[..., i] for i in range(5))
     H, W = img_shape[0], img_shape[1]
-    if direction == "horizontal":
-        x = W - x
-        a = norm_angle(-a, version)
-    elif direction == "vertical":
-        y = H - y
-        a = norm_angle(-a, version)
-    elif direction == "diagonal":
-        x = W - x
-        y = H - y
-    else:
+    if direction not in ("horizontal", "vertical", "diagonal"):
         raise ValueError(direction)
+    if direction in ("horizontal", "diagonal"):
+        x = W - x
+    if direction in ("vertical", "diagonal"):
+        y = H - y
+    if direction != "diagonal":    # diagonal = 180-deg rotation: a fixed
+        if version == "oc":
+            # oc convention mirrors by swapping the edges
+            # (reference RRandomFlip.bbox_flip, transforms.py:224-228)
+            rot = a != PI / 2
+            w, h = jnp.where(rot, h, w), jnp.where(rot, w, h)
+            a = jnp.where(rot, PI / 2 - a, a)
+        else:
+            a = norm_angle(-a, version)
     return jnp.stack([x, y, w, h, a], axis=-1)
 
 

@@ -142,3 +142,144 @@ def test_loader_async_matches_sync_and_prefetches():
         for mod in MODALITIES:
             for k in b_s[mod]:
                 np.testing.assert_array_equal(b_s[mod][k], b_a[mod][k])
+
+
+def _corner_set_close(p1, p2, atol=1e-3):
+    """Compare two (N, 8) corner arrays as unordered point sets."""
+    c1 = p1.reshape(-1, 4, 2)
+    c2 = p2.reshape(-1, 4, 2)
+    d = np.linalg.norm(c1[:, :, None] - c2[:, None, :], axis=-1)
+    # every corner of c1 must have a close partner in c2 and vice versa
+    return (d.min(2) < atol).all() and (d.min(1) < atol).all()
+
+
+def test_flip_obbs_geometric_all_directions_and_versions():
+    """Flipped OBB corners == mirrored original corners, for every
+    direction x angle version (reference RRandomFlip.bbox_flip,
+    mmrotate/datasets/pipelines/transforms.py:200-232)."""
+    from sm3det_tpu.ops.box_convert import obb2poly_np
+    H, W = 64, 96
+    rng = np.random.RandomState(3)
+    for version, lo, hi in (("oc", 0.05, np.pi / 2 - 0.05),
+                            ("le135", -np.pi / 4 + 0.05,
+                             3 * np.pi / 4 - 0.05),
+                            ("le90", -np.pi / 2 + 0.05,
+                             np.pi / 2 - 0.05)):
+        n = 16
+        obbs = np.stack([rng.uniform(10, W - 10, n),
+                         rng.uniform(10, H - 10, n),
+                         rng.uniform(4, 12, n), rng.uniform(2, 8, n),
+                         rng.uniform(lo, hi, n)], -1).astype(np.float32)
+        if version != "oc":
+            # long-edge conventions keep w >= h
+            obbs[:, 2], obbs[:, 3] = (np.maximum(obbs[:, 2], obbs[:, 3]),
+                                      np.minimum(obbs[:, 2], obbs[:, 3]))
+        ref = obb2poly_np(obbs, version)
+        for direction in ("horizontal", "vertical", "diagonal"):
+            mirrored = ref.copy()
+            if direction in ("horizontal", "diagonal"):
+                mirrored[:, 0::2] = W - ref[:, 0::2]
+            if direction in ("vertical", "diagonal"):
+                mirrored[:, 1::2] = H - ref[:, 1::2]
+            out = T.flip_obbs(obbs, (H, W), direction, version)
+            got = obb2poly_np(out, version)
+            assert _corner_set_close(got, mirrored), \
+                (version, direction)
+
+
+def test_rbbox_flip_matches_numpy_flip():
+    """Device-side rbbox_flip (ops/box_convert.py) agrees with the
+    host-side pipeline flip for every direction/version."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from sm3det_tpu.ops.box_convert import rbbox_flip, obb2poly_np
+    H, W = 48, 80
+    rng = np.random.RandomState(5)
+    obbs = np.stack([rng.uniform(10, W - 10, 8),
+                     rng.uniform(10, H - 10, 8),
+                     rng.uniform(6, 12, 8), rng.uniform(2, 5, 8),
+                     rng.uniform(-1.2, 1.2, 8)], -1).astype(np.float32)
+    for version in ("le90", "le135", "oc"):
+        ob = obbs.copy()
+        if version == "oc":
+            ob[:, 4] = np.abs(ob[:, 4]) % (np.pi / 2)
+        for direction in ("horizontal", "vertical", "diagonal"):
+            a = np.asarray(rbbox_flip(jnp.asarray(ob), (H, W),
+                                      direction, version))
+            b = T.flip_obbs(ob, (H, W), direction, version)
+            assert _corner_set_close(obb2poly_np(a, version),
+                                     obb2poly_np(b, version)), \
+                (version, direction)
+
+
+def test_flip_direction_ratios():
+    """List-form flip_ratio picks each direction with its own ratio and
+    leaves 1 - sum unflipped."""
+    rng = np.random.RandomState(0)
+    img = np.zeros((8, 8, 3), np.float32)
+    counts = {"horizontal": 0, "vertical": 0, "diagonal": 0, False: 0}
+    for _ in range(4000):
+        _, _, _, picked = T.random_flip(
+            rng, img, None, None, prob=[0.25, 0.25, 0.25],
+            direction=["horizontal", "vertical", "diagonal"])
+        counts[picked] += 1
+    for k in counts:
+        assert abs(counts[k] / 4000 - 0.25) < 0.04, counts
+
+
+def test_pipeline_cfg_from_config_matches_reference_flags():
+    """The _base_/soi_det.py pipeline section carries the reference's
+    augmentation flags (configs/_base_/datasets/SOI_Det.py:40-52)."""
+    import os
+    from sm3det_tpu.utils.config import Config
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = Config.fromfile(os.path.join(root, "sm3det_convnext_t.py"))
+    rgb = PipelineCfg.from_config(cfg.data["rgb"], img_size=cfg.img_size,
+                                  version=cfg.angle_version)
+    assert rgb.rotate_ratio == 0.5
+    assert rgb.angles_range == 180
+    assert tuple(rgb.rect_classes) == (0, 1, 2, 3, 4, 5, 16, 18)
+    assert tuple(rgb.flip_directions) == ("horizontal", "vertical",
+                                          "diagonal")
+    assert list(rgb.flip_prob) == [0.25, 0.25, 0.25]
+    sar = PipelineCfg.from_config(cfg.data["sar"], img_size=cfg.img_size,
+                                  version=cfg.angle_version)
+    assert sar.flip_prob == 0.5
+    assert tuple(sar.flip_directions) == ("horizontal",)
+    assert sar.rotate_ratio == 0.0
+    # and the full train pipeline runs with those flags
+    ds = SyntheticDetDataset(n=2, img_size=100, box_type="obb", seed=0)
+    rng = np.random.RandomState(1)
+    out = run_pipeline(rng, ds.get_raw(0), rgb, train=True)
+    assert out["img"].shape == (800, 800, 3)
+    assert out["gt_obbs"].shape[1] == 5
+
+
+def test_build_dataset_wrappers_from_config():
+    """Concat/Repeat/ClassBalanced wrappers are constructible from a
+    config dict (mmrotate/datasets/builder.py:36-60 parity), including
+    nesting, and compose with the loader protocol."""
+    from sm3det_tpu.data.datasets import build_dataset
+    leaf = dict(type="SyntheticDetDataset", n=6, img_size=32,
+                num_classes=3, box_type="obb", seed=0)
+    cfg = dict(type="ConcatDataset", datasets=[
+        dict(type="RepeatDataset", times=3, dataset=dict(leaf)),
+        dict(type="ClassBalancedDataset", oversample_thr=0.5,
+             dataset=dict(leaf)),
+    ])
+    ds = build_dataset(cfg)
+    assert len(ds) >= 6 * 3 + 6
+    raw = ds.get_raw(len(ds) - 1)
+    assert raw["img"].shape == (32, 32, 3)
+    # pipeline/max_gt keys are loader config, stripped by the builder
+    cfg2 = dict(leaf, max_gt=9, pipeline=dict(flip_ratio=0.5))
+    assert len(build_dataset(cfg2)) == 6
+    # leaf with missing paths falls back to synthetic when allowed
+    miss = dict(type="DOTADataset", ann_folder="/nonexistent/a",
+                img_folder="/nonexistent/b")
+    fb = dict(n=4, img_size=32, num_classes=3, box_type="obb", seed=1)
+    assert len(build_dataset(miss, synthetic_fallback=fb)) == 4
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        build_dataset(miss)

@@ -77,31 +77,31 @@ def init_distributed():
 def build_datasets(cfg, synthetic: bool, seed_offset: int = 0):
     """seed_offset > 0 builds held-out synthetic val splits (different
     draws from the same distribution)."""
-    from sm3det_tpu.data.datasets import (CocoDetDataset, DOTADataset,
-                                          StructuredSyntheticDetDataset,
-                                          SyntheticDetDataset)
+    from sm3det_tpu.data.datasets import build_dataset
     out = []
     for i0, key in enumerate(("sar", "rgb", "ifr")):
         i = i0 + seed_offset
         dcfg = cfg.data[key].to_dict()
-        dcfg.pop("max_gt", None)
-        dtype = dcfg.pop("type")
-        paths_exist = all(os.path.exists(v) for k, v in dcfg.items()
-                          if isinstance(v, str) and ("/" in v))
+        dtype = dcfg.get("type")
+        box_type = "hbb" if key == "sar" else "obb"
+        fallback = dict(n=64, img_size=cfg.img_size,
+                        num_classes=cfg.num_classes,
+                        box_type=box_type, seed=i)
         if dtype == "StructuredSyntheticDetDataset":
-            ds = StructuredSyntheticDetDataset(
-                img_size=cfg.img_size, num_classes=cfg.num_classes,
-                box_type="hbb" if key == "sar" else "obb", seed=i,
-                **dcfg)
-        elif synthetic or not paths_exist:
-            ds = SyntheticDetDataset(
-                n=64, img_size=cfg.img_size,
-                num_classes=cfg.num_classes,
-                box_type="hbb" if key == "sar" else "obb", seed=i)
-        elif dtype == "CocoDetDataset":
-            ds = CocoDetDataset(**dcfg)
+            for k, v in (("img_size", cfg.img_size),
+                         ("num_classes", cfg.num_classes),
+                         ("box_type", box_type), ("seed", i)):
+                dcfg.setdefault(k, v)
+            ds = build_dataset(dcfg, version=cfg.angle_version)
+        elif synthetic:
+            from sm3det_tpu.data.datasets import SyntheticDetDataset
+            ds = SyntheticDetDataset(**fallback)
         else:
-            ds = DOTADataset(**dcfg, version=cfg.angle_version)
+            # recursive builder: handles Concat/Repeat/ClassBalanced
+            # wrappers (mmrotate/datasets/builder.py:36) and falls back
+            # to synthetic fixtures when data roots are absent
+            ds = build_dataset(dcfg, version=cfg.angle_version,
+                               synthetic_fallback=fallback)
         out.append(ds)
     return out
 
@@ -178,9 +178,10 @@ def main():
     datasets = build_datasets(cfg, args.synthetic_data)
     base_ratio = list(cfg.source_ratio)
     ratio = [r * dp for r in base_ratio]  # global per-step composition
-    pipes = [PipelineCfg(img_size=cfg.img_size,
-                         max_gt=cfg.data[k].get("max_gt", 256),
-                         version=cfg.angle_version)
+    pipes = [PipelineCfg.from_config(
+                 cfg.data[k], img_size=cfg.img_size,
+                 version=cfg.angle_version,
+                 max_gt=cfg.data[k].get("max_gt", 256))
              for k in ("sar", "rgb", "ifr")]
     # each host loads only its share of the global batch
     dp_local = max(dp // jax.process_count(), 1)
