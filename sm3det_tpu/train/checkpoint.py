@@ -88,14 +88,24 @@ def convnext_torch_to_jax(sd: Dict[str, np.ndarray], params: Dict,
     def get(key):
         return sd.get(prefix + key, sd.get(key))
 
-    # stem
-    w = get("downsample_layers.0.0.weight")
+    # stem. Two source layouts: the plain model keeps
+    # (conv, LN) under downsample_layers.0 while the MultiInput variant
+    # moves the conv into dataset_stems['single'] and leaves only the LN
+    # in downsample_layers.0 (``convnext_moe.py:783-792``).
+    stem_name = "stem_single" if "stem_single" in bb else "stem_conv"
+    w = get("dataset_stems.single.weight")
     if w is not None:
-        stem_name = "stem_single" if "stem_single" in bb else "stem_conv"
         bb[stem_name]["kernel"] = tconv(w)
-        bb[stem_name]["bias"] = get("downsample_layers.0.0.bias")
-        bb["stem_norm"]["scale"] = get("downsample_layers.0.1.weight")
-        bb["stem_norm"]["bias"] = get("downsample_layers.0.1.bias")
+        bb[stem_name]["bias"] = get("dataset_stems.single.bias")
+        bb["stem_norm"]["scale"] = get("downsample_layers.0.0.weight")
+        bb["stem_norm"]["bias"] = get("downsample_layers.0.0.bias")
+    else:
+        w = get("downsample_layers.0.0.weight")
+        if w is not None:
+            bb[stem_name]["kernel"] = tconv(w)
+            bb[stem_name]["bias"] = get("downsample_layers.0.0.bias")
+            bb["stem_norm"]["scale"] = get("downsample_layers.0.1.weight")
+            bb["stem_norm"]["bias"] = get("downsample_layers.0.1.bias")
 
     # downsample layers 1..3
     for i in range(1, 4):
@@ -130,17 +140,54 @@ def convnext_torch_to_jax(sd: Dict[str, np.ndarray], params: Dict,
         b1 = get(tp + "ffn.pointwise_conv1.bias")
         w2 = get(tp + "ffn.pointwise_conv2.weight")
         b2 = get(tp + "ffn.pointwise_conv2.bias")
-        if w1 is None:
+        moe_w1 = get(tp + "ffn.experts.0.pointwise_conv1.weight")
+        if w1 is None and moe_w1 is None:
             continue
         if "ffn" in blk and "experts" in blk["ffn"]:
-            # expert fan-out: replicate the dense FFN into every expert
-            e = blk["ffn"]["experts"]["w1"].shape[0]
-            blk["ffn"]["experts"]["w1"] = np.repeat(
-                w1.T[None], e, axis=0)          # (E, d, h)
-            blk["ffn"]["experts"]["b1"] = np.repeat(b1[None], e, axis=0)
-            blk["ffn"]["experts"]["w2"] = np.repeat(
-                w2.T[None], e, axis=0)
-            blk["ffn"]["experts"]["b2"] = np.repeat(b2[None], e, axis=0)
+            ex = blk["ffn"]["experts"]
+            e = ex["w1"].shape[0]
+            if moe_w1 is not None:
+                # trained-MoE checkpoint: stack the per-expert FFNs
+                # (source layout ``MoE_layer.experts`` ModuleList,
+                # ``convnext_moe.py:119-126``)
+                ex["w1"] = np.stack([
+                    get(tp + f"ffn.experts.{i}.pointwise_conv1.weight").T
+                    for i in range(e)])         # (E, d, h)
+                ex["b1"] = np.stack([
+                    get(tp + f"ffn.experts.{i}.pointwise_conv1.bias")
+                    for i in range(e)])
+                ex["w2"] = np.stack([
+                    get(tp + f"ffn.experts.{i}.pointwise_conv2.weight").T
+                    for i in range(e)])
+                ex["b2"] = np.stack([
+                    get(tp + f"ffn.experts.{i}.pointwise_conv2.bias")
+                    for i in range(e)])
+            else:
+                # dense checkpoint: replicate the FFN into every expert
+                # (the reference init_weights fan-out,
+                # ``convnext_moe.py:694-705``)
+                ex["w1"] = np.repeat(w1.T[None], e, axis=0)  # (E, d, h)
+                ex["b1"] = np.repeat(b1[None], e, axis=0)
+                ex["w2"] = np.repeat(w2.T[None], e, axis=0)
+                ex["b2"] = np.repeat(b2[None], e, axis=0)
+            # gate weights (only present in trained-MoE checkpoints)
+            lin_gate = get(tp + "ffn.w_gate")
+            cos_sim = get(tp + "ffn.w_gate.sim_matrix")
+            if lin_gate is not None and "w_gate" in blk["ffn"] and \
+                    not isinstance(blk["ffn"]["w_gate"], dict):
+                blk["ffn"]["w_gate"] = lin_gate              # (d, E)
+            elif cos_sim is not None and isinstance(
+                    blk["ffn"].get("w_gate"), dict):
+                g = blk["ffn"]["w_gate"]
+                g["sim_matrix"] = cos_sim
+                g["temperature"] = get(tp + "ffn.w_gate.temperature")
+                g["cosine_projector"]["kernel"] = get(
+                    tp + "ffn.w_gate.cosine_projector.weight").T
+                g["cosine_projector"]["bias"] = get(
+                    tp + "ffn.w_gate.cosine_projector.bias")
+            wn = get(tp + "ffn.w_noise")
+            if wn is not None and "w_noise" in blk["ffn"]:
+                blk["ffn"]["w_noise"] = wn
         else:
             blk["pwconv1"]["kernel"] = w1.T
             blk["pwconv1"]["bias"] = b1
