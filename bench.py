@@ -3,7 +3,7 @@
 Runs the flagship TriSource model (ConvNeXt-T + 8-expert/top-3 grid MoE at
 stages 2-3, MultitaskFPN, GFL + 2x Oriented R-CNN) on 800x800 inputs in the
 throughput composition [8 SAR : 4 RGB : 4 IR] (the training ratio at the
-measured batching sweet spot, tools/profile_batch8.py), with ALL
+measured batching sweet spot, tools/profiling/profile_batch8.py), with ALL
 post-processing (decode + static NMS) on device.
 
 Measurement note: the dev environment reaches the chip through an RPC
@@ -38,7 +38,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 IMG = 800
 K = int(os.environ.get("SM3DET_BENCH_K", "8"))  # scan steps/dispatch
 # throughput composition: [8 SAR : 4 RGB : 4 IR] per iteration (batch
-# 16) — the measured batching sweet spot (tools/profile_batch8.py:
+# 16) — the measured batching sweet spot (tools/profiling/profile_batch8.py:
 # 75.8 img/s at [2:1:1], 88.9 at [8:4:4], 90.1 at [16:8:8]); keeps the
 # training ratio. Override with SM3DET_BENCH_COMP=2,1,1.
 COMP = tuple(int(v) for v in
@@ -100,7 +100,7 @@ def main():
     # lax.fori_loop (3 dispatches per measurement): host-side call
     # chaining cannot amortize the tunnel's per-dispatch issue cost
     # (~4-6 ms/call, measured with a no-op pallas kernel in
-    # tools/profile_roialign_steps.py), which would inflate the
+    # tools/profiling/archive/profile_roialign_steps.py), which would inflate the
     # measurement by ~20%. A scan over the JOINT graph still overwhelms
     # the remote compiler; per-path loops compile fine. Opt back into
     # call chaining with SM3DET_BENCH_CHAINED=1.

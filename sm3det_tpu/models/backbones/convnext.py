@@ -89,7 +89,7 @@ class LayerNormOpt(nn.Module):
     one-fusion LN math (measured 2x the flax module's multi-pass
     lowering at bench shapes; the Pallas LN kernel measured slower
     still — grid-step overhead beats the saved traffic at these sizes,
-    tools/profile_fused_block.py)."""
+    tools/profiling/archive/profile_fused_block.py)."""
 
     epsilon: float = 1e-6
 

@@ -127,7 +127,7 @@ def rpn_get_proposals(cls_scores, bbox_preds,
         # block-diagonal. Levels are padded to a common K and the NMS is
         # vmapped over them — same per-level IoU work, but the
         # sequential greedy-keep scan (the dominant cost; exact top-k is
-        # ~0.3 ms, tools/profile_topk.py) runs ONCE batched instead of
+        # ~0.3 ms, tools/profiling/archive/profile_topk.py) runs ONCE batched instead of
         # once per level — then merged by score. Exactly equivalent to
         # the level-offset formulation (tests/test_rpn_proposals.py).
         boxes_lv, scores_lv = [], []

@@ -104,6 +104,6 @@ def gelu(x):
     bf16 compute path the tanh approximation is used — its error (<0.1%
     of activation scale) is below bf16 quantization noise, while XLA's
     exact erf expansion costs ~6 ms/step at bench shapes
-    (tools/profile_backbone5.py ablation)."""
+    (tools/profiling/archive/profile_backbone5.py ablation)."""
     import jax.numpy as jnp
     return nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))

@@ -224,7 +224,7 @@ class MoELayer(nn.Module):
         # ---- capacity-bucketed dispatch ------------------------------------
         # Sort-based, scatter-free (TPU: XLA scatter-add is the dominant
         # cost of the naive formulation — 7.4 ms/layer at bench sizes,
-        # tools/profile_backbone3.py). A stable argsort by expert id
+        # tools/profiling/archive/profile_backbone3.py). A stable argsort by expert id
         # yields each (token, choice)'s rank; rank - expert_start is its
         # position in the expert's bucket, so the (E, capacity) buffer is
         # ONE gather and the combine is a (N, k, d) reshape-sum.

@@ -25,20 +25,30 @@ from .rotated_iou import box_iou_rotated_chunked
 
 
 def _pairwise_rotated_iou(boxes1, boxes2, row_chunk: int = 256,
-                          triu: bool = False):
+                          triu: bool = False, groups=None):
     """Pairwise rotated IoU, dispatched to the tiled Pallas TPU kernel on
     TPU backends (1.6x the jnp chunked path at N=2000 on-chip; see
-    tools/profile_micro.py) and the jnp path elsewhere. Both implement the
+    tools/profiling/profile_micro.py) and the jnp path elsewhere. Both implement the
     same Green's-theorem interval clipping; parity is asserted in
     tests/test_pallas_kernels.py.
 
     ``triu=True`` (suppression-matrix callers): blocks strictly below the
     diagonal are zeroed without computing — ``greedy_keep`` only reads
-    the strict upper triangle."""
+    the strict upper triangle.
+
+    ``groups`` (int32 (N,), ascending, boxes1 is boxes2): group-banded
+    suppression matrix — cross-group pairs are DEFINED as zero. On TPU the
+    kernel skips 128x128 tiles whose row/col group ranges don't overlap
+    (multi-class NMS: ~4% of tiles are same-class at 26 classes); the jnp
+    path computes densely then masks."""
     if jax.default_backend() == "tpu":
         from .pallas.rotated_iou_kernel import box_iou_rotated_pallas
-        return box_iou_rotated_pallas(boxes1, boxes2, triu=triu)
-    return box_iou_rotated_chunked(boxes1, boxes2, row_chunk=row_chunk)
+        return box_iou_rotated_pallas(boxes1, boxes2, triu=triu,
+                                      groups1=groups, groups2=groups)
+    iou = box_iou_rotated_chunked(boxes1, boxes2, row_chunk=row_chunk)
+    if groups is not None:
+        iou = iou * (groups[:, None] == groups[None, :])
+    return iou
 
 __all__ = [
     "bbox_overlaps",
@@ -130,7 +140,7 @@ def greedy_keep(sup: jnp.ndarray, eligible: jnp.ndarray,
     come from a small fixpoint iteration, then ONE (block, N) masked matvec
     propagates the block's suppression to all later boxes. This reads the
     suppression matrix exactly once (vs. once per sweep for a global
-    fixpoint — 4.3 ms -> sub-ms at N=2000 on TPU, tools/profile_micro.py)
+    fixpoint — 4.3 ms -> sub-ms at N=2000 on TPU, tools/profiling/profile_micro.py)
     and is exactly equal to sequential greedy NMS
     (``mmcv/mmcv/ops/csrc/common/box_iou_rotated_utils.hpp`` semantics).
 
@@ -283,11 +293,20 @@ def batched_nms(boxes, scores, idxs, iou_threshold: float, max_out: int,
 
 
 def nms_rotated(boxes, scores, iou_threshold: float, max_out: int,
-                score_thr: float = float("-inf"), row_chunk: int = 256):
+                score_thr: float = float("-inf"), row_chunk: int = 256,
+                groups=None):
     """Rotated greedy NMS with static output size.
 
     Args:
         boxes: (N, 5) (cx, cy, w, h, theta).
+        groups: optional int32 (N,) in [0, 2**15): boxes of different
+            groups never suppress each other (``batched_nms`` semantics
+            for rotated boxes). Enables the group-banded IoU kernel:
+            candidates are re-ordered group-major (score order within a
+            group — provably the same greedy result, since suppression is
+            intra-group only) so the suppression matrix is block-diagonal
+            and cross-group 128x128 tiles are skipped. Output order and
+            values are identical to the ungrouped offset-trick path.
 
     Returns:
         (dets, idx, valid): dets (max_out, 6) [cx,cy,w,h,theta,score].
@@ -296,9 +315,25 @@ def nms_rotated(boxes, scores, iou_threshold: float, max_out: int,
     boxes_s = boxes[order]
     scores_s = scores[order]
     eligible = scores_s > score_thr
-    iou = _pairwise_rotated_iou(boxes_s, boxes_s, row_chunk=row_chunk,
-                                triu=True)
-    keep = greedy_keep(iou > iou_threshold, eligible)
+    if groups is None:
+        iou = _pairwise_rotated_iou(boxes_s, boxes_s, row_chunk=row_chunk,
+                                    triu=True)
+        keep = greedy_keep(iou > iou_threshold, eligible)
+    else:
+        from .pallas.rotated_iou_kernel import INERT_GROUP
+        n = boxes.shape[0]
+        groups_s = groups[order].astype(jnp.int32)
+        # ineligible entries go to an inert band the kernel skips entirely
+        g_eff = jnp.where(eligible, groups_s, INERT_GROUP)
+        # group-major permutation; arange tiebreak keeps score order
+        # within each group (boxes_s is already score-sorted)
+        g_key = jnp.where(eligible, groups_s, 1 << 15)
+        perm = jnp.argsort(g_key * n + jnp.arange(n, dtype=jnp.int32))
+        iou = _pairwise_rotated_iou(boxes_s[perm], boxes_s[perm],
+                                    row_chunk=row_chunk, triu=True,
+                                    groups=g_eff[perm])
+        keep_g = greedy_keep(iou > iou_threshold, eligible[perm])
+        keep = jnp.zeros_like(keep_g).at[perm].set(keep_g)
     ob, os, oi, ov = _finalize(boxes_s, scores_s, order, keep, max_out)
     dets = jnp.concatenate([ob, os[:, None]], axis=-1)
     return dets, oi, ov
@@ -342,8 +377,12 @@ def multiclass_nms_rotated(multi_bboxes, multi_scores, score_thr: float,
     offset = cls_idx.astype(cand_boxes.dtype) * (2.0 * max_coord)
     shifted = cand_boxes.at[:, :2].add(offset[:, None])
 
+    # groups=cls_idx enables the block-diagonal banded IoU kernel: at 26
+    # classes ~96% of the (pre_nms, pre_nms) polygon-clip pairs are
+    # cross-class (zero by the offset construction) and are skipped.
     dets, oi, ov = nms_rotated(
-        shifted, cand_scores, iou_thr, max_num, score_thr=score_thr)
+        shifted, cand_scores, iou_thr, max_num, score_thr=score_thr,
+        groups=cls_idx)
     safe = jnp.where(oi >= 0, oi, 0)
     out_boxes = jnp.where(ov[:, None], cand_boxes[safe], 0.0)
     out_labels = jnp.where(ov, cls_idx[safe], -1)

@@ -4,7 +4,7 @@ TPU-native fusion of the ConvNeXt block
 (``mmrotate/models/backbones/convnext_moe.py:295-380``: dw7x7 -> LN ->
 fc1 -> GELU -> fc2 -> layer-scale -> residual). XLA runs the unfused
 block ~8x above its bandwidth+FLOP roofline at bench shapes
-(0.838 ms vs ~0.1 ms for (2, 200, 200, 96); tools/profile_block_v2.py):
+(0.838 ms vs ~0.1 ms for (2, 200, 200, 96); tools/profiling/archive/profile_block_v2.py):
 every sub-op does its own HBM round trip and the f32 LayerNorm stats
 run as separate multi-pass fusions. These kernels make ONE pass over
 the activation:

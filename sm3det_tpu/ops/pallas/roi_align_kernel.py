@@ -5,7 +5,7 @@ TPU-native replacement for the gather formulation in
 reference CUDA op ``mmcv/mmcv/ops/csrc/common/cuda/
 roi_align_rotated_cuda_kernel.cuh``). The jnp path issues ~1.6M
 (1, 1, C) gathers for 2000 RoIs — descriptor-rate bound at ~18 ms on a
-TPU chip (tools/profile_roialign.py). This kernel restructures the op
+TPU chip (tools/profiling/archive/profile_roialign.py). This kernel restructures the op
 around the two things the hardware does fast:
 
 - **DMA**: each RoI's rotated footprint is covered by ONE static
@@ -310,7 +310,7 @@ def _align_core(slab, slab_w, pad_heights, row_base, sum_h, nb,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((p, patch * px), lambda i, oy, ox: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((group, pout, c),
                                lambda i, oy, ox: (i, 0, 0),

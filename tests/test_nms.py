@@ -147,3 +147,27 @@ def test_soft_nms_matches_sequential_reference():
         assert np.allclose(dets[got_valid, 4],
                            np.asarray(ref_scores)[exp_valid],
                            atol=1e-4), method
+
+
+def test_nms_rotated_groups_matches_offset_trick():
+    """nms_rotated(groups=cls) must reproduce the class-offset path
+    bit-exactly: identical keep set, order, dets and valid mask. The
+    grouped path re-orders candidates group-major internally
+    (ops/nms.py nms_rotated) which must not leak into outputs."""
+    rng = np.random.RandomState(11)
+    n, c = 400, 7
+    boxes = np.stack([
+        rng.uniform(0, 512, n), rng.uniform(0, 512, n),
+        rng.uniform(8, 64, n), rng.uniform(8, 64, n),
+        rng.uniform(-1.5, 1.5, n)], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    cls = rng.randint(0, c, n).astype(np.int32)
+    shifted = boxes.copy()
+    shifted[:, :2] += (cls.astype(np.float32) * 2 * 600.0)[:, None]
+
+    d0, i0, v0 = nms_rotated(shifted, scores, 0.1, 100, score_thr=0.05)
+    d1, i1, v1 = nms_rotated(shifted, scores, 0.1, 100, score_thr=0.05,
+                             groups=cls)
+    assert np.array_equal(np.asarray(v0), np.asarray(v1))
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    assert np.abs(np.asarray(d0) - np.asarray(d1)).max() == 0.0

@@ -394,3 +394,49 @@ def test_pallas_hbb_iou_matches_bbox_overlaps():
         lambda b: hbb_iou_pallas(b, b, triu=True, interpret=True))(
         np.stack([bb, rand(260)])))
     assert np.abs(batched[0] - tri).max() < 1e-6
+
+
+def test_pallas_rotated_iou_banded_groups():
+    """Group-banded mode: same-group values match the dense kernel, tiles
+    whose row/col group ranges don't overlap (or are entirely inert) are
+    exact zeros, and the triu variant composes with banding."""
+    from sm3det_tpu.ops.pallas.rotated_iou_kernel import INERT_GROUP
+    from sm3det_tpu.ops.rotated_iou import box_iou_rotated_chunked
+
+    rng = np.random.RandomState(7)
+    n = 300   # 3 blocks incl. a ragged one
+    b = np.stack([
+        rng.uniform(0, 512, n), rng.uniform(0, 512, n),
+        rng.uniform(8, 64, n), rng.uniform(8, 64, n),
+        rng.uniform(-1.5, 1.5, n)], -1).astype(np.float32)
+    groups = np.sort(rng.randint(0, 5, n)).astype(np.int32)
+    groups[-9:] = INERT_GROUP   # trailing inert band (NMS-ineligible)
+
+    ref = np.asarray(box_iou_rotated_chunked(b, b))
+    same = (groups[:, None] == groups[None, :]) & \
+        (groups[:, None] < INERT_GROUP)
+
+    got = np.asarray(box_iou_rotated_pallas(
+        b, b, groups1=groups, groups2=groups, interpret=True))
+    assert np.abs((got - ref) * same).max() < 1e-4
+
+    # fully-skipped tiles (disjoint group ranges / inert) are exact zeros
+    blk = 128
+    nb = -(-n // blk)
+    gp = np.pad(groups, (0, nb * blk - n),
+                constant_values=INERT_GROUP).reshape(nb, blk)
+    gmin, gmax = gp.min(1), gp.max(1)
+    for i in range(nb):
+        for j in range(nb):
+            skip = (gmax[i] < gmin[j]) or (gmax[j] < gmin[i]) or \
+                gmin[i] >= INERT_GROUP or gmin[j] >= INERT_GROUP
+            if skip:
+                tile = got[i * blk:(i + 1) * blk, j * blk:(j + 1) * blk]
+                assert np.abs(tile).max() == 0.0
+
+    tri = np.asarray(box_iou_rotated_pallas(
+        b, b, triu=True, groups1=groups, groups2=groups, interpret=True))
+    iu = np.triu_indices(n)
+    up = (iu[1] // blk) >= (iu[0] // blk)
+    mask = same[iu[0][up], iu[1][up]]
+    assert np.abs((tri - ref)[iu[0][up], iu[1][up]] * mask).max() < 1e-4
