@@ -153,26 +153,39 @@ def greedy_keep(sup: jnp.ndarray, eligible: jnp.ndarray,
         (N,) bool keep mask identical to sequential greedy NMS.
     """
     n = sup.shape[0]
-    tri = jnp.tril(jnp.ones((n, n), bool), k=-1).T  # [j, i] True iff j < i
-    supf = (sup & tri).astype(jnp.float32)
     if n <= block:
-        return _fixpoint_keep(supf, eligible)
+        tri = jnp.tril(jnp.ones((n, n), bool), k=-1).T  # True iff j < i
+        return _fixpoint_keep((sup & tri).astype(jnp.float32), eligible)
 
+    # The (N, N) matrix stays bool end to end (the round-2 version
+    # materialized a full f32 copy — 670 MB/iter at RPN bench shapes,
+    # docs/PERF.md r3 trace). No global triangle mask is needed:
+    # within a block the (block, block) sub is masked locally, and a
+    # lower-triangle entry sup[j, i] with i <= row0+block can only
+    # spuriously clear an ``alive`` column that the scan never slices
+    # again (blocks are consumed in ascending row order), while every
+    # LATER column automatically has j < i.
     pad = (-n) % block
     m = n + pad
+    supb = sup
     if pad:
-        supf = jnp.pad(supf, ((0, pad), (0, pad)))
+        supb = jnp.pad(sup, ((0, pad), (0, pad)))
         eligible = jnp.pad(eligible, (0, pad))
     nb = m // block
+    tri_b = jnp.tril(jnp.ones((block, block), bool), k=-1).T
 
     def body(alive, b):
         row0 = b * block
-        rows = jax.lax.dynamic_slice(supf, (row0, 0), (block, m))
+        rows = jax.lax.dynamic_slice(supb, (row0, 0), (block, m))
         sub = jax.lax.dynamic_slice(rows, (0, row0), (block, block))
         elig_b = jax.lax.dynamic_slice(alive, (row0,), (block,))
-        keep_b = _fixpoint_keep(sub, elig_b)
-        # strict-upper-tri masking means this only clears later columns
-        suppressed = (keep_b.astype(jnp.float32) @ rows) > 0.5
+        keep_b = _fixpoint_keep((sub & tri_b).astype(jnp.float32), elig_b)
+        # bf16 matvec: 0/1 values, counts <= block = 256 are exact in
+        # bf16 (8 mantissa bits); the convert fuses into the matmul so
+        # the bool rows are the only HBM read
+        suppressed = jnp.matmul(
+            keep_b.astype(jnp.bfloat16), rows.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32) > 0.5
         return alive & ~suppressed, keep_b
 
     _, keeps = jax.lax.scan(body, eligible,
