@@ -246,8 +246,10 @@ class MoELayer(nn.Module):
         # rank recovery cost: one (N*k, E) i32 cumsum is ~10x cheaper
         # than argsort(order) at bench sizes)
         pos_all = jnp.cumsum(oh, axis=0) - oh                 # (N*k, E)
-        position = jnp.take_along_axis(
-            pos_all, flat_expert[:, None], axis=1)[:, 0]      # (N*k,)
+        # select the routed expert's running count with a one-hot
+        # multiply-reduce over the tiny E axis: take_along_axis lowers to
+        # a per-row gather the TPU serializes (~5 ms/iter at bench sizes)
+        position = jnp.sum(pos_all * oh, axis=1)              # (N*k,)
         keep = position < capacity
         # capacity A/B instrument (SURVEY §7): fraction of (token, choice)
         # routes dropped by the static capacity — capture via
