@@ -148,7 +148,17 @@ class TriSourceLoader:
             [len(d) for d in datasets],
             [r * batches_per_step for r in source_ratio],
             seed=seed, host_id=host_id, num_hosts=num_hosts)
-        self.seed = seed * 7919 + host_id
+        # per-sample RNG is keyed by the GLOBAL batch slot (not the local
+        # one) so host shards assemble into exactly the single-process
+        # global batch — augmentations included (tests/test_multiprocess.py)
+        self.seed = seed * 7919
+        local_counts = [r * batches_per_step for r in source_ratio]
+        self._gslot = []
+        goff = 0
+        for s, r_local in enumerate(local_counts):
+            base = goff + host_id * r_local
+            self._gslot.extend(base + p for p in range(r_local))
+            goff += r_local * num_hosts
         self.num_workers = num_workers
         self.prefetch = max(prefetch, 1)
 
@@ -171,7 +181,7 @@ class TriSourceLoader:
             per_source: List[List[Dict]] = [[], [], []]
             for slot, (src, idx) in enumerate(batch_indices):
                 per_source[src].append(
-                    self._load_one(src, idx, step, slot))
+                    self._load_one(src, idx, step, self._gslot[slot]))
             yield self._assemble(per_source)
 
     def __iter__(self) -> Iterator[Dict]:
@@ -192,7 +202,7 @@ class TriSourceLoader:
                     if stop.is_set():
                         return
                     futs = [(src, pool.submit(
-                        self._load_one, src, idx, step, slot))
+                        self._load_one, src, idx, step, self._gslot[slot]))
                         for slot, (src, idx) in enumerate(batch_indices)]
                     per_source: List[List[Dict]] = [[], [], []]
                     for src, f in futs:

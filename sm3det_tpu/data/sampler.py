@@ -6,9 +6,12 @@ Parity target: ``mmrotate/datasets/samplers/multi_source_sampler.py:185-385``
 infinite permutation streams.
 
 TPU re-design: a pure-python deterministic index generator parameterized by
-(seed, host_id, num_hosts); each host consumes a disjoint stride of every
-source's permutation stream, so global batches are reproducible without any
-inter-host communication (replaces ``sync_random_seed`` broadcast).
+(seed, host_id, num_hosts). Unlike the reference's per-rank strided streams,
+every host enumerates the SAME global permutation stream and keeps its
+contiguous per-source slice of each global batch draw, so the assembled
+global batch is byte-identical for any process count (single-process ==
+multi-process; no ``sync_random_seed`` broadcast needed and exact loss
+parity is testable, tests/test_multiprocess.py).
 """
 
 from __future__ import annotations
@@ -34,24 +37,28 @@ class MultiSourceSampler:
         self.shuffle = shuffle
 
     def _stream(self, source: int) -> Iterator[int]:
-        """Infinite per-host index stream for one source (rank-strided
-        permutations, ``multi_source_sampler.py:287``)."""
+        """Infinite GLOBAL index stream for one source (identical on every
+        host; cf. the reference's rank-strided variant,
+        ``multi_source_sampler.py:287``)."""
         n = self.sizes[source]
         rng = np.random.RandomState(self.seed * 1000003 + source)
-        epoch = 0
         while True:
             perm = rng.permutation(n) if self.shuffle else np.arange(n)
-            for i in range(self.host_id, n, self.num_hosts):
+            for i in range(n):
                 yield int(perm[i])
-            epoch += 1
 
     def __iter__(self) -> Iterator[List[Tuple[int, int]]]:
+        """Per batch, each source draws ``ratio[s] * num_hosts`` global
+        indices; this host keeps its contiguous slice
+        ``[host_id*ratio[s] : (host_id+1)*ratio[s]]``. Concatenating all
+        hosts' batches per source reproduces the num_hosts=1 stream."""
         streams = [self._stream(s) for s in range(len(self.sizes))]
         while True:
             batch = []
             for s, r in enumerate(self.ratio):
-                for _ in range(r):
-                    batch.append((s, next(streams[s])))
+                draw = [next(streams[s]) for _ in range(r * self.num_hosts)]
+                batch.extend(
+                    (s, draw[self.host_id * r + j]) for j in range(r))
             yield batch
 
 
@@ -85,11 +92,12 @@ class GroupMultiSourceSampler(MultiSourceSampler):
         while True:
             perm = rng.permutation(len(idxs)) if self.shuffle \
                 else np.arange(len(idxs))
-            for i in range(self.host_id, len(idxs), self.num_hosts):
+            for i in range(len(idxs)):
                 yield idxs[perm[i]]
 
     def __iter__(self):
-        rng = np.random.RandomState(self.seed * 7 + self.host_id)
+        # group choice is part of the global stream (same on every host)
+        rng = np.random.RandomState(self.seed * 7)
         streams = {(s, g): self._stream_group(s, g)
                    for s in range(len(self.sizes)) for g in (0, 1)
                    if self._group_indices[s][g]}
@@ -101,6 +109,8 @@ class GroupMultiSourceSampler(MultiSourceSampler):
                 g = int(rng.rand() >= sizes[0] / tot)
                 if (s, g) not in streams:
                     g = 1 - g
-                for _ in range(r):
-                    batch.append((s, next(streams[(s, g)])))
+                draw = [next(streams[(s, g)])
+                        for _ in range(r * self.num_hosts)]
+                batch.extend(
+                    (s, draw[self.host_id * r + j]) for j in range(r))
             yield batch

@@ -49,8 +49,24 @@ def run_training(train_step: Callable, state, data_iter: Iterator,
     """Run the loop; returns the final state."""
     os.makedirs(work_dir, exist_ok=True)
     log_path = os.path.join(work_dir, "train_log.jsonl")
-    buf = LogBuffer(window=log_interval)
-    pending = None
+    # multi-process: every rank runs the loop (SPMD), but only rank 0
+    # writes logs/checkpoints (reference master_only semantics,
+    # mmcv/mmcv/runner/dist_utils.py:138)
+    is_main = jax.process_index() == 0
+    # exact windowed means (mmcv LogBuffer): metrics are summed ON DEVICE
+    # every step (one tiny jitted add per iter, no host sync) and fetched
+    # only at log time — every iteration contributes, not 1-in-N samples
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _acc_metrics(acc_vec, metrics):
+        keys = sorted(metrics)
+        vec = jnp.stack([jnp.asarray(metrics[k], jnp.float32)
+                         for k in keys])
+        return (vec if acc_vec is None else acc_vec + vec)
+
+    acc_vec = None
+    n_acc = 0
     t_data, t_step = 0.0, 0.0
     t0 = time.perf_counter()
 
@@ -64,13 +80,14 @@ def run_training(train_step: Callable, state, data_iter: Iterator,
         ts = time.perf_counter()
         state, metrics = train_step(state, batch)
         t_step += time.perf_counter() - ts
-        pending = metrics
+        acc_vec = _acc_metrics(acc_vec, metrics)
+        n_acc += 1
 
-        if (it + 1) % log_interval == 0 and pending is not None:
-            host_metrics = {k: float(v) for k, v in
-                            jax.device_get(pending).items()}
-            buf.update(host_metrics)
-            avg = buf.averages()
+        if (it + 1) % log_interval == 0 and n_acc:
+            keys = sorted(metrics)
+            vals = np.asarray(jax.device_get(acc_vec)) / n_acc
+            avg = dict(zip(keys, (float(v) for v in vals)))
+            acc_vec, n_acc = None, 0
             elapsed = time.perf_counter() - t0
             line = {
                 "iter": it + 1, "elapsed_s": round(elapsed, 1),
@@ -78,18 +95,21 @@ def run_training(train_step: Callable, state, data_iter: Iterator,
                 "step_time": round(t_step / log_interval, 4),
                 **{k: round(v, 5) for k, v in avg.items()},
             }
-            logger(f"[{it + 1}/{max_iters}] " + json.dumps(line))
-            with open(log_path, "a") as f:
-                f.write(json.dumps(line) + "\n")
+            if is_main:
+                logger(f"[{it + 1}/{max_iters}] " + json.dumps(line))
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(line) + "\n")
             t_data, t_step = 0.0, 0.0
 
-        if checkpoint_interval and (it + 1) % checkpoint_interval == 0:
+        if checkpoint_interval and (it + 1) % checkpoint_interval == 0 \
+                and is_main:
             path = save_checkpoint(work_dir, it + 1, state)
             logger(f"checkpoint saved: {path}")
 
         if eval_fns and eval_interval and (it + 1) % eval_interval == 0:
             for name, fn in eval_fns.items():
                 res = fn(state)
-                logger(f"eval[{name}] @ {it + 1}: {res}")
+                if res is not None:     # None on non-zero ranks
+                    logger(f"eval[{name}] @ {it + 1}: {res}")
 
     return state

@@ -9,6 +9,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.detectors.trisource import TriSourceDetector
@@ -152,7 +153,20 @@ def shard_train_step(train_step, mesh, state, batch, donate: bool = True):
 
     st_sh = state_sharding(mesh, state)
     b_sh = batch_sharding(mesh, batch)
-    sharded_state = jax.device_put(state, st_sh)
+    if jax.process_count() > 1:
+        # multi-process: device_put onto non-addressable shardings runs a
+        # cross-process assert_equal allgather (deadlock-prone before the
+        # SPMD program exists). Build global arrays collective-free from
+        # each process's full host copy instead: the callback hands every
+        # addressable shard its slice.
+        def to_global(x, sh):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, sh, lambda idx: arr[idx])
+
+        sharded_state = jax.tree.map(to_global, state, st_sh)
+    else:
+        sharded_state = jax.device_put(state, st_sh)
     jstep = jax.jit(
         train_step,
         in_shardings=(st_sh, b_sh),

@@ -56,6 +56,10 @@ def init_distributed():
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
         os.environ.get("COORDINATOR_ADDRESS")
     if addr:
+        if os.environ.get("SM3DET_CPU"):
+            # CPU multi-process collectives go through gloo (must be set
+            # before the backend initializes, so key off the env flag)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(os.environ.get("NPROC", "1")),
@@ -192,8 +196,15 @@ def main():
     data_iter = iter(loader)
 
     sample_batch = next(data_iter)
+    init_batch = sample_batch
+    if jax.process_count() > 1:
+        # params are traced against the GLOBAL batch composition; each
+        # host's loader yields only its local share, so tile it up
+        init_batch = jax.tree.map(
+            lambda x: np.concatenate([x] * jax.process_count()),
+            sample_batch)
     params = init_trisource(
-        jax.random.PRNGKey(seed), model, sample_batch,
+        jax.random.PRNGKey(seed), model, init_batch,
         source_ratio=tuple(ratio))
 
     if pretrained and os.path.exists(pretrained):
@@ -275,7 +286,11 @@ def main():
         from sm3det_tpu.data.loader import run_pipeline
 
         eval_interval = cfg.evaluation.get("interval")
-        n_eval = int(cfg.evaluation.get("num_images", 16))
+        # num_images=None (or <=0) means the WHOLE val set per eval pass
+        # (reference behavior: EvalHook evaluates the full val split,
+        # mmrotate/apis/train.py:100-166)
+        n_eval = cfg.evaluation.get("num_images", 16)
+        n_eval = int(n_eval) if n_eval else 0
         val_sets = build_datasets(
             cfg, args.synthetic_data,
             seed_offset=int(cfg.evaluation.get("seed_offset", 0)))
@@ -290,24 +305,44 @@ def main():
             key = "hbbs" if sub == "sar" else "obbs"
 
             eval_bs = int(cfg.evaluation.get("batch_size", 8))
+            eval_workers = int(cfg.evaluation.get("num_workers", 4))
 
             def run(state):
+                from concurrent.futures import ThreadPoolExecutor
+                from sm3det_tpu.parallel.collect import (collect_results_cpu,
+                                                         shard_indices)
+                n = min(n_eval, len(ds)) if n_eval > 0 else len(ds)
+                # multi-process: each process evaluates its stride of the
+                # val set; results gathered below (collect_results parity,
+                # mmcv/mmcv/engine/test.py:97-164)
+                my_idx = shard_indices(n)
+                params = state.params
+                if jax.process_count() > 1:
+                    # fully-replicated global arrays -> host copy usable
+                    # with the local-device eval jit
+                    params = jax.device_get(params)
+
                 prng = np.random.RandomState(0)
-                det_results, annotations = [], []
-                n = min(n_eval, len(ds))
-                raws, imgs = [], []
-                for i in range(n):
+
+                def prep(i):
                     raw = ds.get_raw(i)
-                    raws.append(raw)
-                    imgs.append(run_pipeline(prng, raw, pipe,
-                                             train=False)["img"])
+                    return raw, run_pipeline(prng, raw, pipe,
+                                             train=False)["img"]
+
+                part_results = []
+                with ThreadPoolExecutor(max(eval_workers, 1)) as pool:
+                    prepped = pool.map(prep, my_idx)
+                    raws, imgs = [], []
+                    for raw, img in prepped:
+                        raws.append(raw)
+                        imgs.append(img)
                 # batched jitted inference (pad the tail batch)
-                for b0 in range(0, n, eval_bs):
+                for b0 in range(0, len(imgs), eval_bs):
                     chunk = imgs[b0:b0 + eval_bs]
                     pad = eval_bs - len(chunk)
                     x = np.stack(chunk + [chunk[-1]] * pad)
                     dets_b, labels_b, valid_b = jax.device_get(
-                        tfn(state.params, x))
+                        tfn(params, x))
                     for j in range(len(chunk)):
                         dets, labels, valid = (dets_b[j], labels_b[j],
                                                valid_b[j])
@@ -319,10 +354,15 @@ def main():
                                 if sub != "sar" else np.concatenate(
                                     [dets[sel][:, :4], dets[sel][:, 4:5]],
                                     -1))
-                        det_results.append(per_class)
                         raw = raws[b0 + j]
-                        annotations.append(
-                            dict(bboxes=raw[key], labels=raw["labels"]))
+                        part_results.append(
+                            (per_class,
+                             dict(bboxes=raw[key], labels=raw["labels"])))
+                gathered = collect_results_cpu(part_results, n)
+                if gathered is None:    # non-zero rank
+                    return None
+                det_results = [g[0] for g in gathered]
+                annotations = [g[1] for g in gathered]
                 return eval_rbbox_map(det_results, annotations,
                                       box_dim=box_dim, logger=None)
 
