@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -75,16 +74,16 @@ class DOTADataset(BaseDetDataset):
         self.img_folder = img_folder
         self.version = version
         self.filter_difficulty = filter_difficulty
+        # annotation pickle cache through fileio (dota.py:66,156)
+        from ..utils import fileio
         cache_path = os.path.join(ann_folder, ".sm3det_cache.pkl")
         if cache and os.path.exists(cache_path):
-            with open(cache_path, "rb") as f:
-                self.infos = pickle.load(f)
+            self.infos = fileio.load(cache_path)
         else:
             self.infos = self._load_annotations()
             if cache:
                 try:
-                    with open(cache_path, "wb") as f:
-                        pickle.dump(self.infos, f)
+                    fileio.dump(self.infos, cache_path)
                 except OSError:
                     pass
 
@@ -144,8 +143,8 @@ class CocoDetDataset(BaseDetDataset):
 
     def __init__(self, ann_file: str, img_folder: str,
                  classes: Optional[Sequence[str]] = None):
-        with open(ann_file) as f:
-            coco = json.load(f)
+        from ..utils import fileio
+        coco = fileio.load(ann_file, file_format="json")
         cats = sorted(coco["categories"], key=lambda c: c["id"])
         self.CLASSES = tuple(classes) if classes else tuple(
             c["name"] for c in cats)
@@ -325,13 +324,11 @@ class SyntheticDetDataset(BaseDetDataset):
 
 
 def _imread(path: str) -> np.ndarray:
-    """Image read without cv2: PNG/JPG via PIL if available, else raises."""
-    try:
-        from PIL import Image
-        return np.asarray(Image.open(path).convert("RGB"))[..., ::-1]  # BGR
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "no image backend available (PIL missing)") from e
+    """BGR image read through the host image library
+    (``utils/image.py::imread``, FileClient-routed like the reference's
+    ``mmcv.imread``)."""
+    from ..utils.image import imread
+    return imread(path)
 
 
 # ---------------------------------------------------------------------------

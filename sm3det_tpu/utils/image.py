@@ -19,6 +19,7 @@ from typing import Optional, Tuple, Union
 import numpy as np
 
 __all__ = [
+    "imread", "imwrite", "imfrombytes", "imdraw_polygons",
     "imresize", "imresize_like", "imresize_to_multiple", "rescale_size",
     "imrescale", "imflip", "imrotate", "bbox_clip", "bbox_scaling",
     "imcrop", "impad", "impad_to_multiple", "cutout", "imshear",
@@ -30,6 +31,72 @@ __all__ = [
     "adjust_color", "imequalize", "adjust_brightness", "adjust_contrast",
     "auto_contrast", "adjust_sharpness", "lut_transform", "adjust_hue",
 ]
+
+
+# ---------------------------------------------------------------------------
+# IO (reference: mmcv/mmcv/image/io.py — imread/imwrite/imfrombytes;
+# bytes go through the FileClient backends like the reference's)
+# ---------------------------------------------------------------------------
+
+def imfrombytes(content: bytes, flag: str = "color",
+                channel_order: str = "bgr") -> np.ndarray:
+    """Decode an encoded image buffer. ``flag``: 'color' | 'grayscale' |
+    'unchanged'."""
+    import io
+
+    from PIL import Image
+    img = Image.open(io.BytesIO(content))
+    if flag == "grayscale":
+        return np.asarray(img.convert("L"))
+    if flag == "unchanged":
+        return np.asarray(img)
+    arr = np.asarray(img.convert("RGB"))
+    return arr if channel_order == "rgb" else arr[..., ::-1]
+
+
+def imread(path: str, flag: str = "color",
+           channel_order: str = "bgr") -> np.ndarray:
+    """Read an image from disk/http/memory (FileClient-routed). Returns
+    BGR by default like the reference (``mmcv/mmcv/image/io.py:143``)."""
+    from .fileio import FileClient
+    content = FileClient.infer_client(path).get(path)
+    return imfrombytes(content, flag=flag, channel_order=channel_order)
+
+
+def imwrite(img: np.ndarray, path: str, channel_order: str = "bgr"):
+    """Write an HWC uint8 image (BGR input by default, matching imread)."""
+    import io
+
+    from PIL import Image
+
+    from .fileio import FileClient
+    arr = np.ascontiguousarray(img)
+    if arr.ndim == 3 and channel_order == "bgr":
+        arr = arr[..., ::-1]
+    fmt = path.rsplit(".", 1)[-1].lower()
+    fmt = {"jpg": "JPEG", "tif": "TIFF"}.get(fmt, fmt.upper())
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format=fmt)
+    FileClient.infer_client(path).put(buf.getvalue(), path)
+
+
+def imdraw_polygons(img: np.ndarray, polys, color=(255, 0, 0)
+                    ) -> np.ndarray:
+    """Paint (N, 8) polygon outlines into an HWC uint8 image
+    (nearest-pixel line rasterization; the vis surface of
+    ``mmcv/mmcv/visualization/image.py`` imshow_det_rbboxes)."""
+    img = img.copy()
+    h, w = img.shape[:2]
+    for poly in polys:
+        pts = np.asarray(poly, np.float32).reshape(4, 2)
+        for i in range(4):
+            x0, y0 = pts[i]
+            x1, y1 = pts[(i + 1) % 4]
+            n = int(max(abs(x1 - x0), abs(y1 - y0), 1)) * 2
+            xs = np.linspace(x0, x1, n).astype(int).clip(0, w - 1)
+            ys = np.linspace(y0, y1, n).astype(int).clip(0, h - 1)
+            img[ys, xs] = color
+    return img
 
 
 # ---------------------------------------------------------------------------

@@ -9,6 +9,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..ops.box_convert import obb2poly_np
+from .image import imdraw_polygons
 
 PALETTE = [
     (230, 25, 75), (60, 180, 75), (255, 225, 25), (0, 130, 200),
@@ -18,12 +19,6 @@ PALETTE = [
 ]
 
 
-def _draw_line(img, x0, y0, x1, y1, color):
-    h, w = img.shape[:2]
-    n = int(max(abs(x1 - x0), abs(y1 - y0), 1)) * 2
-    xs = np.linspace(x0, x1, n).astype(int).clip(0, w - 1)
-    ys = np.linspace(y0, y1, n).astype(int).clip(0, h - 1)
-    img[ys, xs] = color
 
 
 def imshow_det_rbboxes(img: np.ndarray, bboxes: np.ndarray,
@@ -44,17 +39,11 @@ def imshow_det_rbboxes(img: np.ndarray, bboxes: np.ndarray,
     polys = obb2poly_np(bboxes[:, :5], version) if len(bboxes) else \
         np.zeros((0, 8))
     for poly, label in zip(polys, labels):
-        color = PALETTE[int(label) % len(PALETTE)]
-        pts = poly.reshape(4, 2)
-        for i in range(4):
-            _draw_line(img, pts[i, 0], pts[i, 1],
-                       pts[(i + 1) % 4, 0], pts[(i + 1) % 4, 1], color)
+        img = imdraw_polygons(
+            img, [poly], PALETTE[int(label) % len(PALETTE)])
     if out_file:
-        try:
-            from PIL import Image
-            Image.fromarray(img.astype(np.uint8)).save(out_file)
-        except ImportError:
-            np.save(out_file + ".npy", img)
+        from .image import imwrite
+        imwrite(img.astype(np.uint8), out_file, channel_order="rgb")
     return img
 
 
@@ -66,16 +55,11 @@ def imshow_det_bboxes(img, bboxes, labels, class_names=None,
         keep = bboxes[:, 4] >= score_thr
         bboxes, labels = bboxes[keep], labels[keep]
     for box, label in zip(bboxes, labels):
-        color = PALETTE[int(label) % len(PALETTE)]
         x1, y1, x2, y2 = box[:4]
-        _draw_line(img, x1, y1, x2, y1, color)
-        _draw_line(img, x2, y1, x2, y2, color)
-        _draw_line(img, x2, y2, x1, y2, color)
-        _draw_line(img, x1, y2, x1, y1, color)
+        img = imdraw_polygons(
+            img, [np.array([x1, y1, x2, y1, x2, y2, x1, y2])],
+            PALETTE[int(label) % len(PALETTE)])
     if out_file:
-        try:
-            from PIL import Image
-            Image.fromarray(img.astype(np.uint8)).save(out_file)
-        except ImportError:
-            np.save(out_file + ".npy", img)
+        from .image import imwrite
+        imwrite(img.astype(np.uint8), out_file, channel_order="rgb")
     return img
