@@ -493,7 +493,7 @@ class TriSourceDetector(nn.Module):
         + horizontal flip, flipped boxes mapped back, merged by re-scoring
         through one joint NMS (aug_multiclass_nms_rotated semantics)."""
         from ...ops.box_convert import norm_angle
-        from ...ops.nms import nms, nms_rotated
+        from ...ops.nms import aug_multiclass_nms_rotated
 
         version = self.cfg["angle_version"]
         d1, l1, v1 = self.simple_test(imgs, subdataset, img_shape)
@@ -511,30 +511,16 @@ class TriSourceDetector(nn.Module):
             x2 = w - d2[..., 0]
             d2 = jnp.stack([x1, d2[..., 1], x2, d2[..., 3],
                             d2[..., 4]], -1)
-            nms_fn = lambda b, s, m: nms(b, s, 0.5, m)  # noqa: E731
-            box_dim = 4
+            iou_thr, box_dim = 0.5, 4
         else:
             d2 = jnp.stack([
                 w - d2[..., 0], d2[..., 1], d2[..., 2], d2[..., 3],
                 norm_angle(-d2[..., 4], version), d2[..., 5]], -1)
-            nms_fn = lambda b, s, m: nms_rotated(b, s, 0.1, m)  # noqa
-            box_dim = 5
+            iou_thr, box_dim = 0.1, 5
 
         def merge(da, db, la, lb, va, vb):
-            boxes = jnp.concatenate([da[:, :box_dim], db[:, :box_dim]])
-            scores = jnp.concatenate([
-                jnp.where(va, da[:, box_dim], -1e10),
-                jnp.where(vb, db[:, box_dim], -1e10)])
-            labels = jnp.concatenate([la, lb])
-            # class-offset so different classes never suppress each other
-            off = labels.astype(boxes.dtype) * 2e4
-            shifted = boxes.at[:, 0].add(off)
-            dets, idx, valid = nms_fn(shifted, scores, da.shape[0])
-            safe = jnp.where(idx >= 0, idx, 0)
-            out_b = jnp.where(valid[:, None], boxes[safe], 0.0)
-            out_l = jnp.where(valid, labels[safe], -1)
-            out = jnp.concatenate(
-                [out_b, dets[:, box_dim:box_dim + 1]], -1)
-            return out, out_l, valid
+            return aug_multiclass_nms_rotated(
+                (da, db), (la, lb), (va, vb), iou_thr,
+                max_out=da.shape[0], box_dim=box_dim)
 
         return jax.vmap(merge)(d1, d2, l1, l2, v1, v2)

@@ -59,6 +59,7 @@ __all__ = [
     "nms_rotated",
     "multiclass_nms_rotated",
     "multiclass_nms",
+    "aug_multiclass_nms_rotated",
 ]
 
 NEG_INF = -1e10
@@ -427,3 +428,39 @@ def multiclass_nms(multi_bboxes, multi_scores, score_thr: float,
     safe = jnp.where(oi >= 0, oi, 0)
     out_labels = jnp.where(ov, cls_idx[safe], -1)
     return dets, out_labels, ov
+
+
+def aug_multiclass_nms_rotated(dets_list, labels_list, valid_list,
+                               iou_thr: float, max_out: int,
+                               box_dim: int = 5):
+    """Merge multi-augmentation detection sets through one joint
+    class-offset NMS (``mmrotate/core/post_processing/
+    bbox_nms_rotated.py:113`` ``aug_multiclass_nms_rotated``).
+
+    Inputs: per-augmentation dets ``(N_i, box_dim+1)`` with the score in
+    the last column, int labels ``(N_i,)`` and validity masks ``(N_i,)``,
+    all already mapped back to original-image coordinates. Static shapes:
+    returns ``(dets (max_out, box_dim+1), labels (max_out,),
+    valid (max_out,))``. ``box_dim=4`` gives the horizontal variant used
+    by the SAR branch's TTA merge.
+    """
+    boxes = jnp.concatenate([d[:, :box_dim] for d in dets_list])
+    scores = jnp.concatenate([
+        jnp.where(v, d[:, box_dim], NEG_INF)
+        for d, v in zip(dets_list, valid_list)])
+    labels = jnp.concatenate(list(labels_list))
+    # class-offset trick: different classes never suppress each other
+    off = labels.astype(boxes.dtype) * 2e4
+    shifted = boxes.at[:, 0].add(off)
+    if box_dim == 4:
+        dets, idx, valid = nms(shifted, scores, iou_thr, max_out)
+    else:
+        dets, idx, valid = nms_rotated(shifted, scores, iou_thr, max_out)
+    # masked-out input slots carry NEG_INF scores; they must not surface
+    # as valid outputs
+    valid = valid & (dets[:, box_dim] > NEG_INF / 2)
+    safe = jnp.where(idx >= 0, idx, 0)
+    out_b = jnp.where(valid[:, None], boxes[safe], 0.0)
+    out_l = jnp.where(valid, labels[safe], -1)
+    out = jnp.concatenate([out_b, dets[:, box_dim:box_dim + 1]], -1)
+    return out, out_l, valid

@@ -171,3 +171,39 @@ def test_nms_rotated_groups_matches_offset_trick():
     assert np.array_equal(np.asarray(v0), np.asarray(v1))
     assert np.array_equal(np.asarray(i0), np.asarray(i1))
     assert np.abs(np.asarray(d0) - np.asarray(d1)).max() == 0.0
+
+
+def test_aug_multiclass_nms_rotated_merges_across_augs():
+    """Reusable TTA merge op (aug_multiclass_nms_rotated, ref
+    bbox_nms_rotated.py:113): overlapping same-class boxes from two aug
+    sets collapse to the higher score; different classes never suppress
+    each other; invalid slots never win."""
+    import jax
+    import jax.numpy as jnp
+
+    from sm3det_tpu.ops.nms import aug_multiclass_nms_rotated
+
+    d1 = jnp.array([[50., 50., 20., 10., 0.0, 0.9],
+                    [100., 100., 20., 10., 0.0, 0.8],
+                    [0., 0., 0., 0., 0., 0.99]])       # invalid slot
+    l1 = jnp.array([0, 1, 2])
+    v1 = jnp.array([True, True, False])
+    # aug 2: same object as d1[0] (class 0, lower score), plus a class-1
+    # box exactly on top of it (must NOT be suppressed by class 0)
+    d2 = jnp.array([[50.5, 50., 20., 10., 0.0, 0.7],
+                    [50., 50., 20., 10., 0.0, 0.6]])
+    l2 = jnp.array([0, 1])
+    v2 = jnp.array([True, True])
+
+    out, labels, valid = jax.jit(
+        lambda: aug_multiclass_nms_rotated(
+            (d1, d2), (l1, l2), (v1, v2), iou_thr=0.1, max_out=4))()
+    out, labels, valid = map(np.asarray, (out, labels, valid))
+    kept = [(tuple(np.round(out[i, :2], 1)), int(labels[i]),
+             round(float(out[i, 5]), 2))
+            for i in range(4) if valid[i]]
+    assert ((50.0, 50.0), 0, 0.9) in kept          # winner of class-0 pair
+    assert ((100.0, 100.0), 1, 0.8) in kept
+    assert ((50.0, 50.0), 1, 0.6) in kept          # cross-class survives
+    assert len(kept) == 3                          # dup + invalid dropped
+    assert not any(s == 0.99 for (_, _, s) in kept)
