@@ -49,7 +49,7 @@ def layer_decay_scales(params, num_layers: int, decay_rate: float,
         depth = num_layers  # heads / necks get max depth (lr x1)
         for k in keys:
             s = str(k)
-            if "stem" in s or "patch_embed" in s:
+            if "stem" in s or "patch_embed" in s or s == "pos_embed":
                 return 0
             if s.startswith("stage"):
                 try:
@@ -58,6 +58,11 @@ def layer_decay_scales(params, num_layers: int, decay_rate: float,
                 except (ValueError, IndexError):
                     return depth
                 return stage * 3 + block + 1
+            if s.startswith("block") and s[5:].isdigit():
+                # flat ViT naming block{i} -> depth i+1 (the reference's
+                # get_num_layer_for_vit, mmcv_custom/
+                # layer_decay_optimizer_constructor.py:20-28)
+                return int(s[5:]) + 1
         return depth
 
     depth_fn = depth_of or default_depth
