@@ -48,6 +48,34 @@ def load_checkpoint(path: str, target_state):
     return ckptr.restore(path, target=target_state)
 
 
+def load_params(path: str, target_params):
+    """Params-only restore for eval/demo CLIs: restores the full saved
+    tree target-free, extracts ``params``, then validates structure and
+    casts dtypes against ``target_params`` so sharding/dtype mismatches
+    surface as a clear error instead of a cryptic orbax one (the
+    reference's weights-only ``load_checkpoint``,
+    ``mmcv/mmcv/runner/checkpoint.py``)."""
+    import orbax.checkpoint as ocp
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    p = restored.get("params", restored) if isinstance(restored, dict) \
+        else restored
+    tgt_leaves, tgt_def = jax.tree_util.tree_flatten(target_params)
+    got_leaves, got_def = jax.tree_util.tree_flatten(p)
+    if tgt_def != got_def:
+        raise ValueError(
+            f"checkpoint {path} params tree does not match the model: "
+            f"expected {tgt_def}, got {got_def}")
+    out = []
+    for t, g in zip(tgt_leaves, got_leaves):
+        g = np.asarray(g)
+        if tuple(g.shape) != tuple(np.shape(t)):
+            raise ValueError(
+                f"checkpoint {path}: leaf shape {g.shape} != model "
+                f"{np.shape(t)}")
+        out.append(g.astype(getattr(t, "dtype", g.dtype), copy=False))
+    return jax.tree_util.tree_unflatten(tgt_def, out)
+
+
 # ---------------------------------------------------------------------------
 # torch -> JAX parameter ingestion
 # ---------------------------------------------------------------------------

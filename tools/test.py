@@ -14,7 +14,6 @@ back to original image coordinates (the reference's ``rescale=True``);
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time
@@ -45,10 +44,11 @@ def parse_args():
     return p.parse_args()
 
 
-def build_dataset(cfg, sub: str, synthetic: bool):
+def build_dataset(cfg, sub: str, synthetic: bool, min_n: int = 64):
     """Build the eval dataset for one modality from config (mirrors
     tools/train.py build_datasets; falls back to synthetic fixtures when
-    paths are absent)."""
+    paths are absent). ``min_n`` sizes the synthetic fallback so
+    --num-images N can demonstrate eval at scale (SURVEY hard part 6)."""
     from sm3det_tpu.data.datasets import (CocoDetDataset, DOTADataset,
                                           SyntheticDetDataset)
     # prefer the test/val split when configured (reference cfg.data.test)
@@ -65,7 +65,8 @@ def build_dataset(cfg, sub: str, synthetic: bool):
                       if isinstance(v, str) and "/" in v)
     if synthetic or not paths_exist:
         return SyntheticDetDataset(
-            n=64, img_size=cfg.img_size, num_classes=cfg.num_classes,
+            n=max(64, min_n), img_size=cfg.img_size,
+            num_classes=cfg.num_classes,
             box_type="hbb" if sub == "sar" else "obb", seed=7)
     if dtype == "CocoDetDataset":
         return CocoDetDataset(**dcfg)
@@ -95,7 +96,8 @@ def main():
     model = TriSourceDetector(cfg=model_cfg)
 
     sub = args.subdataset
-    ds = build_dataset(cfg, sub, args.synthetic_data)
+    ds = build_dataset(cfg, sub, args.synthetic_data,
+                       min_n=args.num_images or 64)
     classes = list(getattr(ds, "CLASSES", ())) or [
         f"class_{c}" for c in range(cfg.num_classes)]
     nc = cfg.num_classes
@@ -132,10 +134,8 @@ def main():
     params = init_trisource(jax.random.PRNGKey(0), model, dummy_batch,
                             source_ratio=(1, 1, 1))
     if args.checkpoint:
-        import orbax.checkpoint as ocp
-        ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(os.path.abspath(args.checkpoint))
-        params = restored["params"] if "params" in restored else restored
+        from sm3det_tpu.train.checkpoint import load_params
+        params = load_params(args.checkpoint, params)
         print(f"loaded {args.checkpoint}")
 
     method = {"sar": "simple_test_sar", "rgb": "simple_test_rgb",
@@ -149,14 +149,33 @@ def main():
     det_results, annotations, img_ids = [], [], []
     t0 = time.perf_counter()
     variables = {"params": params}
-    for start in range(0, n_total, bs):
-        idxs = list(range(start, min(start + bs, n_total)))
-        raws = [ds.get_raw(i) for i in idxs]
-        pre = [preprocess(r) for r in raws]
-        imgs = np.stack([p[0] for p in pre])
-        if len(idxs) < bs:  # pad the tail batch (static shapes)
-            imgs = np.concatenate(
-                [imgs, np.repeat(imgs[-1:], bs - len(idxs), 0)])
+
+    # producer thread + pool: host pipeline overlaps device inference
+    # (the reference's multi-worker eval DataLoader)
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+    bq: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def producer():
+        with ThreadPoolExecutor(4) as pool:
+            for start in range(0, n_total, bs):
+                idxs = list(range(start, min(start + bs, n_total)))
+                raws = list(pool.map(ds.get_raw, idxs))
+                pre = list(pool.map(preprocess, raws))
+                imgs = np.stack([p[0] for p in pre])
+                if len(idxs) < bs:  # pad the tail batch (static shapes)
+                    imgs = np.concatenate(
+                        [imgs, np.repeat(imgs[-1:], bs - len(idxs), 0)])
+                bq.put((raws, pre, imgs))
+        bq.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = bq.get()
+        if item is None:
+            break
+        raws, pre, imgs = item
         dets_b, labels_b, valid_b = jax.device_get(
             test_fn(variables, imgs))
         for j, (raw, (_, scale)) in enumerate(zip(raws, pre)):
@@ -197,13 +216,14 @@ def main():
                          box_dim=4 if sub == "sar" else 5)
     print(res)
     if args.out:
+        from sm3det_tpu.utils import fileio
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as f:
-            json.dump({"eval": {k: float(v) if np.isscalar(v) else v
-                                for k, v in res.items()
-                                if np.isscalar(v)},
-                       "num_images": n_total,
-                       "img_per_s": n_total / dt}, f, indent=1)
+        fileio.dump({"eval": {k: float(v) if np.isscalar(v) else v
+                              for k, v in res.items()
+                              if np.isscalar(v)},
+                     "num_images": n_total,
+                     "img_per_s": n_total / dt},
+                    args.out, file_format="json")
         print(f"eval dumped to {args.out}")
 
 
