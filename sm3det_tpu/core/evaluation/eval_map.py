@@ -20,6 +20,16 @@ from ...ops.nms import bbox_overlaps
 from ...ops.rotated_iou import box_iou_rotated
 
 
+def _bucket(n: int) -> int:
+    """Next power-of-two bucket (min 32) so the jnp fallback's jit cache
+    hits across the per-image/per-class shape zoo instead of retracing
+    every unique (N, G)."""
+    b = 32
+    while b < n:
+        b *= 2
+    return b
+
+
 def _pairwise_iou(dets: np.ndarray, gts: np.ndarray,
                   box_dim: int) -> np.ndarray:
     if len(dets) == 0 or len(gts) == 0:
@@ -30,29 +40,35 @@ def _pairwise_iou(dets: np.ndarray, gts: np.ndarray,
         out = box_iou_rotated_native(dets[:, :5], gts)
         if out is not None:
             return out
+    n, g = len(dets), len(gts)
+    bn, bg = _bucket(n), _bucket(g)
+    db = np.zeros((bn, box_dim), np.float32)
+    gb = np.zeros((bg, box_dim), np.float32)
+    db[:n] = dets[:, :box_dim]
+    gb[:g] = gts
     with jax.default_device(jax.devices("cpu")[0]):
         if box_dim == 5:
-            return np.asarray(box_iou_rotated(
-                dets[:, :5].astype(np.float32),
-                gts.astype(np.float32)))
-        return np.asarray(bbox_overlaps(
-            dets[:, :4].astype(np.float32), gts.astype(np.float32)))
+            full = np.asarray(box_iou_rotated(db, gb))
+        else:
+            full = np.asarray(bbox_overlaps(db, gb))
+    return full[:n, :g]
 
 
-def _tpfp(det: np.ndarray, gt: np.ndarray, iou_thr: float,
-          box_dim: int):
-    """tp/fp flags for one image-class (``eval_map.py:14`` semantics)."""
+def _tpfp(det: np.ndarray, gt_len: int, ious: Optional[np.ndarray],
+          iou_thr: float):
+    """tp/fp flags for one image-class (``eval_map.py:14`` semantics);
+    ``ious`` is the precomputed (N, G) matrix (shared across the IoU
+    threshold grid)."""
     nd = len(det)
     tp = np.zeros(nd, np.float32)
     fp = np.zeros(nd, np.float32)
-    if len(gt) == 0:
+    if gt_len == 0:
         fp[:] = 1
         return tp, fp
     if nd == 0:
         return tp, fp
-    ious = _pairwise_iou(det, gt, box_dim)
     order = np.argsort(-det[:, -1])
-    matched = np.zeros(len(gt), bool)
+    matched = np.zeros(gt_len, bool)
     for i in order:
         j = int(np.argmax(ious[i]))
         if ious[i, j] >= iou_thr and not matched[j]:
@@ -114,10 +130,15 @@ def eval_rbbox_map(det_results: List[List[np.ndarray]],
         if num_gts == 0 and sum(len(d) for d in cls_dets) == 0:
             continue
         valid_class[c] = num_gts > 0
+        # one IoU matrix per image, shared across the whole threshold
+        # grid (the reference recomputes per thr through its pool;
+        # eval_map.py:131)
+        cls_ious = [_pairwise_iou(d, g, box_dim) if len(d) and len(g)
+                    else None for d, g in zip(cls_dets, cls_gts)]
         for ti, thr in enumerate(iou_thrs):
             tps, fps, scores = [], [], []
-            for d, g in zip(cls_dets, cls_gts):
-                tp, fp = _tpfp(d, g, thr, box_dim)
+            for d, g, io in zip(cls_dets, cls_gts, cls_ious):
+                tp, fp = _tpfp(d, len(g), io, thr)
                 tps.append(tp)
                 fps.append(fp)
                 scores.append(d[:, -1] if len(d) else

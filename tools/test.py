@@ -171,6 +171,7 @@ def main():
         bq.put(None)
 
     threading.Thread(target=producer, daemon=True).start()
+    done = 0
     while True:
         item = bq.get()
         if item is None:
@@ -178,6 +179,11 @@ def main():
         raws, pre, imgs = item
         dets_b, labels_b, valid_b = jax.device_get(
             test_fn(variables, imgs))
+        done += len(raws)
+        if done % (bs * 8) < bs or done >= n_total:
+            print(f"  [{done}/{n_total}] "
+                  f"{done / (time.perf_counter() - t0):.1f} img/s",
+                  flush=True)
         for j, (raw, (_, scale)) in enumerate(zip(raws, pre)):
             dets, labels, valid = dets_b[j], labels_b[j], valid_b[j]
             per_class = []
@@ -196,7 +202,7 @@ def main():
             img_ids.append(str(raw.get("img_id", len(img_ids))))
     dt = time.perf_counter() - t0
     print(f"inference: {n_total} images in {dt:.1f}s "
-          f"({n_total / dt:.2f} img/s, batch={bs})")
+          f"({n_total / dt:.2f} img/s, batch={bs})", flush=True)
 
     if args.format_only and sub != "sar":
         # DOTA Task1 submission (dota.py:243-323): real patch ids carry
