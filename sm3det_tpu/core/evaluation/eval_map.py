@@ -156,12 +156,21 @@ def eval_rbbox_map(det_results: List[List[np.ndarray]],
     def mean_over_valid(row):
         return float(row[valid_class].mean()) if valid_class.any() else 0.0
 
+    def row_for(thr):
+        # look thresholds up by value, not position, so custom iou_thrs
+        # (e.g. [0.5, 0.75]) still label mAP50/mAP75 correctly
+        for ti, t in enumerate(iou_thrs):
+            if abs(t - thr) < 1e-6:
+                return ap_table[ti]
+        return None
+
+    row50, row75 = row_for(0.5), row_for(0.75)
     result = {
-        "mAP50": mean_over_valid(ap_table[0]),
-        "mAP75": mean_over_valid(ap_table[5]) if len(iou_thrs) > 5 else 0.0,
+        "mAP50": mean_over_valid(row50) if row50 is not None else 0.0,
+        "mAP75": mean_over_valid(row75) if row75 is not None else 0.0,
         "mAP": float(np.mean([mean_over_valid(ap_table[t])
                               for t in range(len(iou_thrs))])),
-        "per_class_ap50": {c: float(ap_table[0, c])
+        "per_class_ap50": {c: float(row50[c]) if row50 is not None else 0.0
                            for c in range(num_classes) if valid_class[c]},
     }
     if logger:

@@ -1,28 +1,64 @@
 """ctypes bindings for the native host-geometry library.
 
-Falls back to None when the .so hasn't been built; callers (eval) then
-use the jnp path. Build with ``tools/build_native.sh``.
+Auto-builds the .so from source on first use when g++ is available
+(atomic: compile to a temp path, rename into place); falls back to
+None otherwise, and callers (eval) then use the jnp path. Manual
+build: ``tools/build_native.sh``.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
+import tempfile
 
 import numpy as np
 
 _LIB = None
+_LOAD_FAILED = False
+
+
+def _try_build(src: str, path: str) -> bool:
+    """Compile src -> path atomically; True on success."""
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(path))
+    os.close(fd)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared", src,
+             "-o", tmp],
+            check=True, capture_output=True, timeout=120)
+        os.replace(tmp, path)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return False
 
 
 def _load():
-    global _LIB
+    global _LIB, _LOAD_FAILED
     if _LIB is not None:
         return _LIB
-    path = os.path.join(os.path.dirname(__file__),
-                        "libsm3det_geometry.so")
-    if not os.path.exists(path):
+    if _LOAD_FAILED:
         return None
-    lib = ctypes.CDLL(path)
+    here = os.path.dirname(__file__)
+    path = os.path.join(here, "libsm3det_geometry.so")
+    src = os.path.join(here, "rotated_geometry.cc")
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        # Missing or truncated .so: rebuild from source once.
+        if not (os.path.exists(src) and _try_build(src, path)):
+            _LOAD_FAILED = True
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            _LOAD_FAILED = True
+            return None
     lib.box_iou_rotated.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
