@@ -48,5 +48,7 @@ lr_config = dict(
 )
 
 checkpoint_interval = iters_per_epoch
-evaluation = dict(interval=iters_per_epoch)
+# num_images=None: evaluate the WHOLE val split per pass (reference
+# EvalHook behavior, mmrotate/apis/train.py:100-166)
+evaluation = dict(interval=iters_per_epoch, num_images=None)
 work_dir = "./work_dirs/sm3det_convnext_t"

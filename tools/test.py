@@ -39,6 +39,10 @@ def parse_args():
     p.add_argument("--num-images", type=int, default=None,
                    help="cap evaluated images (default: full set)")
     p.add_argument("--synthetic-data", action="store_true")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="inference compute policy (bf16 matches bench.py; "
+                        "convergence-parity evidence in docs/PERF.md)")
     p.add_argument("--out", help="dump raw results + eval json here")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
@@ -93,6 +97,9 @@ def main():
     model_cfg["backbone"].pop("pretrained", None)
     model_cfg["backbone"]["moe_block_inds"] = tuple(
         tuple(x) for x in model_cfg["backbone"]["moe_block_inds"])
+    model_init = TriSourceDetector(cfg=model_cfg)
+    if args.compute_dtype != "float32":
+        model_cfg = dict(model_cfg, compute_dtype=args.compute_dtype)
     model = TriSourceDetector(cfg=model_cfg)
 
     sub = args.subdataset
@@ -105,21 +112,26 @@ def main():
     S = cfg.img_size
 
     def preprocess(raw):
-        """Eval pipeline: keep-ratio resize + normalize + pad; returns
-        (img (S,S,3), scale) so dets can be mapped back to original
-        coords (reference rescale=True)."""
+        """Eval host pipeline: keep-ratio resize + pad only, staying
+        uint8 — normalization runs IN-GRAPH on device (4x less
+        host->device traffic and no per-image host normalize; this host
+        has one core, so host work is the eval throughput ceiling).
+        Returns (img (S,S,3) uint8, scale) so dets can be mapped back
+        to original coords (reference rescale=True)."""
         img = raw["img"]
         h, w = img.shape[:2]
         scale = min(S / h, S / w)
         img, _, _, _ = T.resize(img, (S, S), None, None, keep_ratio=True)
-        img = T.normalize(img, pipe.mean, pipe.std)
-        img = T.pad_to(img, (S, S))
-        return img.astype(np.float32), scale
+        if img.shape[:2] != (S, S):
+            out = np.zeros((S, S) + img.shape[2:], img.dtype)
+            out[:img.shape[0], :img.shape[1]] = img
+            img = out
+        return np.ascontiguousarray(img), scale
 
     # init / load params
     g0 = 8
     img0, _ = preprocess(ds.get_raw(0))
-    dummy = img0[None]
+    dummy = np.zeros((1, S, S, 3), np.float32)
     dummy_batch = {
         "sar": {"img": dummy, "gt_bboxes": np.zeros((1, g0, 4), np.float32),
                 "gt_labels": np.zeros((1, g0), np.int32),
@@ -131,7 +143,7 @@ def main():
                 "gt_labels": np.zeros((1, g0), np.int32),
                 "gt_mask": np.ones((1, g0), bool)},
     }
-    params = init_trisource(jax.random.PRNGKey(0), model, dummy_batch,
+    params = init_trisource(jax.random.PRNGKey(0), model_init, dummy_batch,
                             source_ratio=(1, 1, 1))
     if args.checkpoint:
         from sm3det_tpu.train.checkpoint import load_params
@@ -141,14 +153,34 @@ def main():
     method = {"sar": "simple_test_sar", "rgb": "simple_test_rgb",
               "ifr": "simple_test_ifr"}[sub]
     bs = max(args.batch_size, 1)
-    test_fn = jax.jit(lambda v, x: model.apply(
-        v, x, (S, S), method=method))
+    # in-graph normalization: uint8 -> f32, BGR->RGB via gather (a
+    # ::-1 reverse inside big graphs crashes libtpu's fusion emitter),
+    # then (x - mean) / std — mirrors T.normalize(to_rgb=True)
+    import jax.numpy as jnp
+    mean_d = jnp.asarray(pipe.mean, jnp.float32)
+    inv_std_d = jnp.asarray(1.0 / np.asarray(pipe.std, np.float32))
+    chan_perm = jnp.asarray([2, 1, 0])
+
+    def _fwd(v, x_u8):
+        xf = x_u8.astype(jnp.float32)
+        xf = jnp.take(xf, chan_perm, axis=-1)
+        xf = (xf - mean_d) * inv_std_d
+        return model.apply(v, xf, (S, S), method=method)
+
+    test_fn = jax.jit(_fwd)
 
     n_total = len(ds) if args.num_images is None \
         else min(args.num_images, len(ds))
     det_results, annotations, img_ids = [], [], []
-    t0 = time.perf_counter()
     variables = {"params": params}
+
+    # compile outside the timed window (the reference's benchmark.py
+    # also excludes warmup iterations from its FPS measurement)
+    warm = np.zeros((bs, S, S, 3), np.uint8)
+    # value fetch, not block_until_ready: only fetches force remote
+    # execution through the axon tunnel (see CLAUDE.md gotchas)
+    jax.device_get(test_fn(variables, warm)[2])
+    t0 = time.perf_counter()
 
     # producer thread + pool: host pipeline overlaps device inference
     # (the reference's multi-worker eval DataLoader)
@@ -172,34 +204,45 @@ def main():
 
     threading.Thread(target=producer, daemon=True).start()
     done = 0
-    while True:
-        item = bq.get()
-        if item is None:
-            break
-        raws, pre, imgs = item
-        dets_b, labels_b, valid_b = jax.device_get(
-            test_fn(variables, imgs))
+    ncol = 5 if sub == "sar" else 6
+
+    def consume(pending):
+        """device_get one finished batch and postprocess on host."""
+        nonlocal done
+        raws, pre, fut = pending
+        dets_b, labels_b, valid_b = jax.device_get(fut)
         done += len(raws)
         if done % (bs * 8) < bs or done >= n_total:
             print(f"  [{done}/{n_total}] "
                   f"{done / (time.perf_counter() - t0):.1f} img/s",
                   flush=True)
         for j, (raw, (_, scale)) in enumerate(zip(raws, pre)):
-            dets, labels, valid = dets_b[j], labels_b[j], valid_b[j]
-            per_class = []
-            for c in range(nc):
-                sel = valid & (labels == c)
-                if sub == "sar":
-                    arr = dets[sel][:, :5].copy()
-                    arr[:, :4] /= scale          # back to original coords
-                else:
-                    arr = dets[sel][:, :6].copy()
-                    arr[:, :4] /= scale
-                per_class.append(arr)
-            det_results.append(per_class)
+            # compact to valid rows ONCE, then split the small array by
+            # class (26 masks over max_det slots per image was the host
+            # postprocess hot spot on this 1-core machine)
+            v = np.asarray(valid_b[j])
+            dets = np.asarray(dets_b[j])[v, :ncol].astype(
+                np.float32, copy=True)
+            labels = np.asarray(labels_b[j])[v]
+            dets[:, :4] /= scale                 # back to original coords
+            det_results.append([dets[labels == c] for c in range(nc)])
             key = "hbbs" if sub == "sar" else "obbs"
             annotations.append(dict(bboxes=raw[key], labels=raw["labels"]))
             img_ids.append(str(raw.get("img_id", len(img_ids))))
+
+    # one-deep dispatch pipeline: batch k computes on device while
+    # batch k-1's results are fetched + postprocessed on host
+    pending = None
+    while True:
+        item = bq.get()
+        if item is not None:
+            raws, pre, imgs = item
+            fut = test_fn(variables, imgs)       # async dispatch
+        if pending is not None:
+            consume(pending)
+        if item is None:
+            break
+        pending = (raws, pre, fut)
     dt = time.perf_counter() - t0
     print(f"inference: {n_total} images in {dt:.1f}s "
           f"({n_total / dt:.2f} img/s, batch={bs})", flush=True)
