@@ -37,19 +37,24 @@ def random_sample(rng, assigned_gt_inds, num: int, pos_fraction: float):
     is_neg = assigned_gt_inds == 0
     num_pos_exp = int(num * pos_fraction)
 
+    # only the first ``num`` entries of the random order are ever read,
+    # so a k=num partial top-k replaces the full (P log P) stable sort —
+    # at RPN scale (P ~ 160k anchors, num = 256) the four per-stream
+    # full sorts were ~7.7 ms/step of the training step (device trace)
+    k = min(num, p)
     key_pos = jax.random.uniform(rng_pos, (p,)) + \
         jnp.where(is_pos, 0.0, 10.0)
-    pos_order = jnp.argsort(key_pos)
+    pos_order = jax.lax.top_k(-key_pos, k)[1]
     n_pos = jnp.minimum(jnp.sum(is_pos), num_pos_exp)
 
     key_neg = jax.random.uniform(rng_neg, (p,)) + \
         jnp.where(is_neg, 0.0, 10.0)
-    neg_order = jnp.argsort(key_neg)
+    neg_order = jax.lax.top_k(-key_neg, k)[1]
     n_neg = jnp.minimum(jnp.sum(is_neg), num - n_pos)
 
     slots = jnp.arange(num)
-    pos_take = pos_order[jnp.clip(slots, 0, p - 1)]
-    neg_take = neg_order[jnp.clip(slots - n_pos, 0, p - 1)]
+    pos_take = pos_order[jnp.clip(slots, 0, k - 1)]
+    neg_take = neg_order[jnp.clip(slots - n_pos, 0, k - 1)]
     inds = jnp.where(slots < n_pos, pos_take, neg_take).astype(jnp.int32)
     pos_mask = slots < n_pos
     neg_mask = (slots >= n_pos) & (slots < n_pos + n_neg)

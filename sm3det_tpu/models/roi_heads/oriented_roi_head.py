@@ -68,10 +68,21 @@ def _roi_feats_fused_fwd(feats, rois, out_size, featmap_strides,
 
 def _roi_feats_fused_bwd(out_size, featmap_strides, sample_num,
                          finest_scale, bucketed, res, g):
-    from ...ops.pallas.roi_align_kernel import (compute_patch_size,
-                                                route_levels)
+    from ...ops.pallas.roi_align_kernel import (
+        compute_patch_size, roi_align_rotated_pyramid_fused_bwd,
+        route_levels)
     from ...ops.roi_align_rotated import roi_align_rotated_pyramid
     feats, rois = res
+    if not bucketed and jax.default_backend() == "tpu":
+        # Pallas windowed scatter backward: one MXU stencil matmul +
+        # read-modify-write window DMA per RoI (XLA's scatter lowering
+        # of the jnp VJP below is row-serialized — 14 ms/train step at
+        # bench shapes; parity: tests/test_pallas_kernels.py::
+        # test_fused_align_bwd_kernel_matches_jnp_vjp)
+        gf = roi_align_rotated_pyramid_fused_bwd(
+            tuple(feats), rois, g, out_size, tuple(featmap_strides),
+            sample_num, finest_scale=finest_scale)
+        return gf, jnp.zeros_like(rois)
     patch = compute_patch_size([f.shape[1] for f in feats],
                                [f.shape[2] for f in feats])
     lvls = route_levels(rois, patch, featmap_strides, finest_scale,

@@ -152,6 +152,17 @@ def _make_kernel(patch: int, px: int, p: int, c: int, slab_w: int,
     return kernel
 
 
+def _slab_geometry(heights, widths, patch: int):
+    """Static slab layout shared by the forward build and the backward
+    un-build: (slab_w, pad_heights, row_base, sum_h)."""
+    px = patch + ALIGN
+    slab_w = _roundup(max(max(widths), px), ALIGN)
+    pad_heights = [max(h, patch) for h in heights]
+    row_base = np.cumsum([0] + pad_heights[:-1])
+    sum_h = int(sum(pad_heights))
+    return slab_w, pad_heights, row_base, sum_h
+
+
 def _build_slab(feats, patch: int):
     """Row-concatenate the pyramid into one (B*sum_h, slab_w, C) slab.
 
@@ -162,11 +173,8 @@ def _build_slab(feats, patch: int):
     c = feats[0].shape[-1]
     heights = [f.shape[1] for f in feats]
     widths = [f.shape[2] for f in feats]
-    px = patch + ALIGN
-    slab_w = _roundup(max(max(widths), px), ALIGN)
-    pad_heights = [max(h, patch) for h in heights]
-    row_base = np.cumsum([0] + pad_heights[:-1])
-    sum_h = int(sum(pad_heights))
+    slab_w, pad_heights, row_base, sum_h = _slab_geometry(
+        heights, widths, patch)
     slab = jnp.concatenate(
         [jnp.pad(f, ((0, 0), (0, ph - f.shape[1]),
                      (0, slab_w - f.shape[2]), (0, 0)))
@@ -207,11 +215,14 @@ def roi_align_rotated_pyramid_fused(feats, rois, out_size: int = 7,
         clockwise, finest_scale, interpret)
 
 
-def _align_core(slab, slab_w, pad_heights, row_base, sum_h, nb,
-                heights, widths, out_dtype, rois, patch, out_size,
-                featmap_strides, sample_num, aligned, clockwise,
-                finest_scale, interpret):
-    c = slab.shape[-1]
+def _roi_geometry(rois, patch, out_size, featmap_strides, sample_num,
+                  aligned, clockwise, finest_scale, heights, widths,
+                  pad_heights, row_base, sum_h, slab_w):
+    """Per-RoI sampling geometry shared by the forward and backward
+    kernels: window origins + patch-relative (poisoned) sample coords.
+
+    Returns (oy_abs (N,) i32, ox_i (N,) i32, y_rel (N,P), x_rel (N,P)).
+    """
     num_lvls = len(featmap_strides)
     n = rois.shape[0]
     g = sample_num
@@ -274,6 +285,23 @@ def _align_core(slab, slab_w, pad_heights, row_base, sum_h, nb,
 
     y_rel = jnp.where(oob_y, -10.0, y_cl - oy_rel[:, None])
     x_rel = jnp.where(oob_x, -10.0, x_cl - ox[:, None])
+    return oy_abs, ox_i, y_rel, x_rel
+
+
+def _align_core(slab, slab_w, pad_heights, row_base, sum_h, nb,
+                heights, widths, out_dtype, rois, patch, out_size,
+                featmap_strides, sample_num, aligned, clockwise,
+                finest_scale, interpret):
+    c = slab.shape[-1]
+    n = rois.shape[0]
+    g = sample_num
+    p = (out_size * g) ** 2
+    px = patch + ALIGN
+
+    oy_abs, ox_i, y_rel, x_rel = _roi_geometry(
+        rois, patch, out_size, featmap_strides, sample_num, aligned,
+        clockwise, finest_scale, heights, widths, pad_heights, row_base,
+        sum_h, slab_w)
     coords = jnp.stack([y_rel, x_rel], axis=1)           # (N, 2, P)
 
     compute_dtype = slab.dtype if slab.dtype == jnp.bfloat16 \
@@ -396,3 +424,179 @@ def roi_align_rotated_pyramid_fused_bucketed(
         heights, widths, feats[0].dtype, rois_sorted[big_k:],
         small_patch, *args)
     return jnp.concatenate([out_big, out_small], axis=0)[inv]
+
+
+# --------------------------------------------------------------------------
+# backward: feature gradients via windowed read-modify-write scatter
+# --------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(patch, px, p, c, pout, gsq, kc, total,
+                     compute_dtype):
+    """Per grid step (one RoI): recompute the (patch*px, P) bilinear
+    stencil transposed, matmul against the RoI's pooled output grads on
+    the MXU, and accumulate the resulting window gradient into the f32
+    grad slab with a read-modify-write DMA pair. Grid steps execute
+    sequentially on the TPU core, and each step waits for the previous
+    step's write-back before reading, so overlapping windows (the
+    scatter-add hazard) accumulate exactly. The stencil matmul needs
+    neither DMA, so it hides under the window round-trip."""
+    nchunks = patch // kc
+
+    def kernel(oy_ref, ox_ref, coords_ref, g_ref, zeros_ref, dslab_ref,
+               win, rsem, wsem):
+        del zeros_ref                       # aliased with dslab_ref
+        i = pl.program_id(0)
+
+        def rd():
+            ox = pl.multiple_of(ox_ref[i], ALIGN)
+            return pltpu.make_async_copy(
+                dslab_ref.at[pl.ds(oy_ref[i], patch), pl.ds(ox, px), :],
+                win, rsem)
+
+        def wr(idx):
+            ox = pl.multiple_of(ox_ref[idx], ALIGN)
+            return pltpu.make_async_copy(
+                win, dslab_ref.at[pl.ds(oy_ref[idx], patch),
+                                  pl.ds(ox, px), :], wsem)
+
+        # the previous write must land before this window is read: two
+        # RoIs' windows may overlap (this is what serializes the scan)
+        @pl.when(i > 0)
+        def _():
+            wr(i - 1).wait()
+
+        rd().start()
+
+        # stencil weights while the read flies (no DMA dependence)
+        y = coords_ref[0, 0, :]
+        x = coords_ref[0, 1, :]
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        fy = y - y0
+        fx = x - x0
+        # column-tap weights (px, P): shared by every patch row
+        # (int iota -> f32 convert: Mosaic has no float iota)
+        qx = jax.lax.broadcasted_iota(
+            jnp.int32, (px, p), 0).astype(jnp.float32)
+        wx = jnp.where(qx == x0[None, :], 1.0 - fx[None, :], 0.0) + \
+            jnp.where(qx == x0[None, :] + 1.0, fx[None, :], 0.0)
+        wx = wx.astype(compute_dtype)
+        # pooled grads -> per-sample grads: each of the gsq sub-samples
+        # of a bin receives grad/gsq (the forward pooled with mean)
+        gs = g_ref[0].astype(jnp.float32) * (1.0 / gsq)
+        gs = jnp.broadcast_to(gs[:, None, :], (pout, gsq, c)) \
+            .reshape(p, c).astype(compute_dtype)
+
+        rd().wait()
+        for ck in range(nchunks):
+            qy = jax.lax.broadcasted_iota(
+                jnp.int32, (kc, 1, p), 0).astype(jnp.float32) \
+                + float(ck * kc)
+            wy = jnp.where(qy == y0[None, None, :],
+                           1.0 - fy[None, None, :], 0.0) + \
+                jnp.where(qy == y0[None, None, :] + 1.0,
+                          fy[None, None, :], 0.0)
+            wch = (wy.astype(compute_dtype) * wx[None]) \
+                .reshape(kc * px, p)
+            wg = jnp.dot(wch, gs, preferred_element_type=jnp.float32)
+            win[ck * kc:(ck + 1) * kc] = \
+                win[ck * kc:(ck + 1) * kc] + wg.reshape(kc, px, c)
+
+        wr(i).start()
+
+        @pl.when(i == total - 1)
+        def _():
+            wr(i).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "out_size", "featmap_strides", "sample_num", "aligned", "clockwise",
+    "finest_scale", "interpret"))
+def roi_align_rotated_pyramid_fused_bwd(feats, rois, g, out_size: int = 7,
+                                        featmap_strides=(4, 8, 16, 32),
+                                        sample_num: int = 2,
+                                        aligned: bool = True,
+                                        clockwise: bool = True,
+                                        finest_scale: int = 56,
+                                        interpret: bool = False):
+    """Feature gradients of the (unbucketed) fused pyramid align.
+
+    The reference CUDA backward (``mmcv/mmcv/ops/csrc/common/cuda/
+    roi_align_rotated_cuda_kernel.cuh``, backward kernel) atomicAdds
+    each sample's 4 bilinear taps into the feature grad; XLA lowers the
+    equivalent jnp VJP to row-serialized scatters (~59M rows/s: 14 ms/
+    step at train shapes, device trace). This kernel restructures it
+    the same way the forward was: per RoI, ONE (patch*px, P) @ (P, C)
+    MXU matmul forms the whole window gradient, which is accumulated
+    into the grad slab with a serialized read-modify-write window DMA.
+
+    Args:
+        feats: per-level (B, H_l, W_l, C) — shapes/dtypes only.
+        rois: (N, 6) as in the forward.
+        g: (N, out_size, out_size, C) cotangent of the pooled output.
+
+    Returns:
+        tuple of per-level gradients, dtype of each ``feats[l]``.
+    """
+    heights = [f.shape[1] for f in feats]
+    widths = [f.shape[2] for f in feats]
+    patch = compute_patch_size(heights, widths)
+    px = patch + ALIGN
+    slab_w, pad_heights, row_base, sum_h = _slab_geometry(
+        heights, widths, patch)
+    nb = feats[0].shape[0]
+    c = feats[0].shape[-1]
+    n = rois.shape[0]
+    gsq = sample_num * sample_num
+    pout = out_size * out_size
+    p = pout * gsq
+
+    oy_abs, ox_i, y_rel, x_rel = _roi_geometry(
+        rois, patch, out_size, featmap_strides, sample_num, aligned,
+        clockwise, finest_scale, heights, widths, pad_heights, row_base,
+        sum_h, slab_w)
+    coords = jnp.stack([y_rel, x_rel], axis=1)
+
+    compute_dtype = jnp.bfloat16 if feats[0].dtype == jnp.bfloat16 \
+        else jnp.float32              # matches the forward's matmul dtype
+    g2 = g.reshape(n, pout, c)
+    dslab0 = jnp.zeros((nb * sum_h, slab_w, c), jnp.float32)
+
+    kc = 8                            # patch is always a multiple of 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 2, p), lambda i, oy, ox: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pout, c), lambda i, oy, ox: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),       # zeros (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((patch, px, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    dslab = pl.pallas_call(
+        _make_bwd_kernel(patch, px, p, c, pout, gsq, kc, n,
+                         compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * sum_h, slab_w, c),
+                                       jnp.float32),
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(oy_abs, ox_i, coords, g2, dslab0)
+
+    ds = dslab.reshape(nb, sum_h, slab_w, c)
+    grads = []
+    row = 0
+    for (h, w_), ph, f in zip(zip(heights, widths), pad_heights, feats):
+        grads.append(ds[:, row:row + h, :w_, :].astype(f.dtype))
+        row += ph
+    return tuple(grads)

@@ -440,3 +440,45 @@ def test_pallas_rotated_iou_banded_groups():
     up = (iu[1] // blk) >= (iu[0] // blk)
     mask = same[iu[0][up], iu[1][up]]
     assert np.abs((tri - ref)[iu[0][up], iu[1][up]] * mask).max() < 1e-4
+
+
+def test_fused_align_bwd_kernel_matches_jnp_vjp():
+    """The Pallas windowed read-modify-write backward must reproduce the
+    jnp exact path's VJP (the reference CUDA backward's atomicAdd
+    semantics) — overlapping RoI windows exercise the serialized
+    scatter-accumulate."""
+    import jax
+    import jax.numpy as jnp
+
+    from sm3det_tpu.ops.pallas.roi_align_kernel import (
+        compute_patch_size, roi_align_rotated_pyramid_fused_bwd,
+        route_levels)
+    from sm3det_tpu.ops.roi_align_rotated import roi_align_rotated_pyramid
+
+    rng = np.random.RandomState(2)
+    bsz, c = 2, 64
+    strides = (4, 8, 16, 32)
+    feats = tuple(jnp.asarray(rng.rand(bsz, 256 // s, 256 // s, c)
+                              .astype(np.float32)) for s in strides)
+    n = 48
+    rois = jnp.asarray(np.stack([
+        rng.randint(0, bsz, n).astype(np.float32),
+        rng.uniform(30, 220, n), rng.uniform(30, 220, n),
+        rng.uniform(16, 140, n), rng.uniform(8, 140, n),
+        rng.uniform(-1.5, 1.5, n)], -1).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, 7, 7, c).astype(np.float32))
+
+    patch = compute_patch_size([f.shape[1] for f in feats],
+                               [f.shape[2] for f in feats])
+    lvls = route_levels(rois, patch, strides, 56, len(strides))
+    _, vjp = jax.vjp(
+        lambda f: roi_align_rotated_pyramid(list(f), rois, lvls, 7,
+                                            featmap_strides=strides),
+        feats)
+    ref = vjp(g)[0]
+    got = roi_align_rotated_pyramid_fused_bwd(
+        feats, rois, g, 7, strides, interpret=True)
+    for a, b in zip(got, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        assert rel < 1e-4, rel
