@@ -46,7 +46,16 @@ def collect_results_cpu(part_results: Sequence, size: int,
     if jax.process_count() == 1:
         return list(part_results)[:size]
     if tmpdir is None:
-        tmpdir = os.path.join(tempfile.gettempdir(), "sm3det_collect")
+        # per-run unique dir shared by all ranks: rank 0 draws a random
+        # token and broadcasts it, so two concurrent jobs on one machine
+        # can never overwrite each other's part files (the reference
+        # broadcasts a mkdtemp name the same way, ``engine/test.py:97``)
+        import numpy as np
+        from jax.experimental import multihost_utils
+        token = int(multihost_utils.broadcast_one_to_all(
+            np.int64(np.random.randint(0, 2**31 - 1))))
+        tmpdir = os.path.join(tempfile.gettempdir(),
+                              f"sm3det_collect_{token}")
     os.makedirs(tmpdir, exist_ok=True)
     rank = jax.process_index()
     with open(os.path.join(tmpdir, f"part_{rank}.pkl"), "wb") as f:

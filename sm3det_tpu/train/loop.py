@@ -101,10 +101,15 @@ def run_training(train_step: Callable, state, data_iter: Iterator,
                     f.write(json.dumps(line) + "\n")
             t_data, t_step = 0.0, 0.0
 
-        if checkpoint_interval and (it + 1) % checkpoint_interval == 0 \
-                and is_main:
+        if checkpoint_interval and (it + 1) % checkpoint_interval == 0:
+            # ALL processes participate: in multi-process runs the state is
+            # globally sharded jax.Arrays and orbax's save runs a
+            # cross-process barrier + per-process shard writes — a rank-0-only
+            # call would deadlock. (The reference's ``master_only`` gate
+            # applies to torch host-memory state only.)
             path = save_checkpoint(work_dir, it + 1, state)
-            logger(f"checkpoint saved: {path}")
+            if is_main:
+                logger(f"checkpoint saved: {path}")
 
         if eval_fns and eval_interval and (it + 1) % eval_interval == 0:
             for name, fn in eval_fns.items():

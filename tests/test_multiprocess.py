@@ -46,7 +46,7 @@ def _base_env(n_cpu: int, cache_dir: str = ""):
 def _train_cmd(work_dir: str):
     return [sys.executable, TRAIN, CFG, "--synthetic-data",
             "--max-iters", "4", "--work-dir", work_dir,
-            "--cfg-options", "log_interval=1",
+            "--cfg-options", "log_interval=1", "checkpoint_interval=4",
             "evaluation={'interval': 4, 'num_images': 6, 'batch_size': 4}"]
 
 
@@ -159,3 +159,11 @@ def test_two_process_train_matches_single_process(tmp_path):
     assert outs[0].count("eval[") == 3
     assert outs[1].count("eval[") == 0
     assert single.stdout.count("eval[") == 3
+
+    # multi-process checkpoint: ALL ranks participate in the orbax save
+    # (globally sharded arrays — a rank-0-only call deadlocks); both runs
+    # must produce a complete iter_4 checkpoint
+    for wd in (wd_single, wd_mp):
+        assert os.path.isdir(os.path.join(wd, "iter_4")), \
+            f"missing checkpoint in {wd}"
+    assert "checkpoint saved" in outs[0]

@@ -122,8 +122,18 @@ def main():
         h, w = img.shape[:2]
         scale = min(S / h, S / w)
         img, _, _, _ = T.resize(img, (S, S), None, None, keep_ratio=True)
+        if img.dtype != np.uint8:
+            # bilinear resize promotes to float32; cast back so the host
+            # pipeline stays uint8 end-to-end (one jit signature, 4x less
+            # host->device traffic)
+            img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
         if img.shape[:2] != (S, S):
-            out = np.zeros((S, S) + img.shape[2:], img.dtype)
+            # pad with mean-valued pixels (BGR layout, so after the
+            # in-graph BGR->RGB permute + normalize the band is ~0 —
+            # matching the train pipeline's normalize-then-zero-pad order,
+            # reference Normalize->Pad)
+            out = np.empty((S, S) + img.shape[2:], np.uint8)
+            out[...] = np.rint(np.asarray(pipe.mean)[::-1]).astype(np.uint8)
             out[:img.shape[0], :img.shape[1]] = img
             img = out
         return np.ascontiguousarray(img), scale
@@ -189,18 +199,27 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
     bq: "queue.Queue" = queue.Queue(maxsize=2)
 
+    producer_exc: list = []
+
     def producer():
-        with ThreadPoolExecutor(4) as pool:
-            for start in range(0, n_total, bs):
-                idxs = list(range(start, min(start + bs, n_total)))
-                raws = list(pool.map(ds.get_raw, idxs))
-                pre = list(pool.map(preprocess, raws))
-                imgs = np.stack([p[0] for p in pre])
-                if len(idxs) < bs:  # pad the tail batch (static shapes)
-                    imgs = np.concatenate(
-                        [imgs, np.repeat(imgs[-1:], bs - len(idxs), 0)])
-                bq.put((raws, pre, imgs))
-        bq.put(None)
+        # always enqueue the sentinel, even on error — otherwise a data
+        # error in this daemon thread would leave the consumer blocked on
+        # bq.get() forever; the exception is re-raised in the main thread
+        try:
+            with ThreadPoolExecutor(4) as pool:
+                for start in range(0, n_total, bs):
+                    idxs = list(range(start, min(start + bs, n_total)))
+                    raws = list(pool.map(ds.get_raw, idxs))
+                    pre = list(pool.map(preprocess, raws))
+                    imgs = np.stack([p[0] for p in pre])
+                    if len(idxs) < bs:  # pad the tail batch (static shapes)
+                        imgs = np.concatenate(
+                            [imgs, np.repeat(imgs[-1:], bs - len(idxs), 0)])
+                    bq.put((raws, pre, imgs))
+        except BaseException as e:          # noqa: BLE001
+            producer_exc.append(e)
+        finally:
+            bq.put(None)
 
     threading.Thread(target=producer, daemon=True).start()
     done = 0
@@ -243,6 +262,8 @@ def main():
         if item is None:
             break
         pending = (raws, pre, fut)
+    if producer_exc:
+        raise producer_exc[0]
     dt = time.perf_counter() - t0
     print(f"inference: {n_total} images in {dt:.1f}s "
           f"({n_total / dt:.2f} img/s, batch={bs})", flush=True)
