@@ -107,13 +107,16 @@ class CSLRetinaHead(nn.Module):
 
 
 def csl_angle_loss(angle_cls, angle_targets, pos_weight, coder,
-                   avg_factor=1.0):
-    """BCE between CSL logits and the circular smooth labels."""
+                   avg_factor=1.0, gamma=2.0, alpha=0.25):
+    """Smooth focal loss between CSL logits and the circular smooth
+    labels (``csl_rotated_retina_head.py:165``: SmoothFocalLoss on the
+    coder-encoded soft targets, weight = (N, 1) positive mask, reduced as
+    sum-over-all-elements / avg_factor)."""
+    from ..losses import smooth_focal_loss
     smooth = coder.encode(angle_targets)
-    bce = jnp.maximum(angle_cls, 0) - angle_cls * smooth + \
-        jnp.log1p(jnp.exp(-jnp.abs(angle_cls)))
-    return jnp.sum(bce.mean(-1) * pos_weight) / jnp.maximum(
-        avg_factor, 1e-6)
+    return smooth_focal_loss(
+        angle_cls, smooth, gamma=gamma, alpha=alpha,
+        weight=pos_weight[..., None], avg_factor=avg_factor)
 
 
 def make_retina_anchor_generator(strides=(8, 16, 32, 64, 128)):

@@ -199,33 +199,40 @@ def obb2gaussian(obbs):
     return xy, sigma
 
 
+def _gd_postprocess_v2(distance, fun, tau):
+    """``gaussian_dist_loss.py:64 postprocess``: distance -> loss."""
+    if fun == "log1p":
+        distance = jnp.log1p(distance)
+    elif fun == "sqrt":
+        distance = jnp.sqrt(jnp.clip(distance, 1e-7))
+    elif fun != "none":
+        raise ValueError(fun)
+    return 1 - 1 / (tau + distance) if tau >= 1.0 else distance
+
+
 def gwd_loss(pred, target, fun="log1p", tau=1.0, alpha=1.0,
              normalize=True, weight=None, avg_factor=None):
-    """Gaussian Wasserstein distance loss (``gaussian_dist_loss.py``)."""
+    """Gaussian Wasserstein distance loss (``gaussian_dist_loss.py:92``):
+    distance = sqrt(xy_dist + alpha^2 * whr_dist), THEN normalized by
+    2 * (det_p * det_t)^(1/8), then postprocessed — the sqrt happens
+    before the normalization (oracle-verified ordering)."""
     mu_p, sig_p = obb2gaussian(pred)
     mu_t, sig_t = obb2gaussian(target)
     xy_dist = jnp.sum((mu_p - mu_t) ** 2, axis=-1)
-    tr = jnp.trace(sig_p, axis1=-2, axis2=-1) + \
+    whr = jnp.trace(sig_p, axis1=-2, axis2=-1) + \
         jnp.trace(sig_t, axis1=-2, axis2=-1)
 
     # sqrt of product term via closed form for 2x2 SPD matrices
-    prod = sig_p @ sig_t
-    det_prod = jnp.clip(jnp.linalg.det(prod), 0)
-    tr_prod = jnp.trace(prod, axis1=-2, axis2=-1)
-    cross = jnp.sqrt(jnp.clip(tr_prod + 2 * jnp.sqrt(det_prod), 0))
-    dist = jnp.clip(xy_dist + tr - 2 * cross, 0)
+    tr_prod = jnp.trace(sig_p @ sig_t, axis1=-2, axis2=-1)
+    det_sqrt = jnp.sqrt(jnp.clip(
+        jnp.linalg.det(sig_p) * jnp.linalg.det(sig_t), 1e-7))
+    whr = whr - 2 * jnp.sqrt(jnp.clip(tr_prod + 2 * det_sqrt, 1e-7))
+    distance = jnp.sqrt(jnp.clip(xy_dist + alpha * alpha * whr, 1e-7))
     if normalize:
-        scale = 2 * (jnp.sqrt(jnp.clip(
-            jnp.linalg.det(sig_p) * jnp.linalg.det(sig_t), 1e-7)) ** 0.25)
-        dist = dist / jnp.maximum(scale, 1e-7)
-    if fun == "log1p":
-        loss = jnp.log1p(jnp.sqrt(jnp.clip(dist, 1e-7)))
-    elif fun == "sqrt":
-        loss = jnp.sqrt(jnp.clip(dist, 1e-7))
-    else:
-        loss = dist
-    if fun != "none":
-        loss = 1 - 1 / (tau + loss) if tau >= 1.0 else loss
+        scale = 2 * jnp.clip(jnp.sqrt(jnp.clip(
+            jnp.sqrt(jnp.clip(det_sqrt, 1e-7)), 1e-7)), 1e-7)
+        distance = distance / scale
+    loss = _gd_postprocess_v2(distance, fun, tau)
     return _reduce(loss, weight, avg_factor)
 
 
@@ -249,7 +256,7 @@ def kfiou_loss(pred, target, pred_decode, targets_decode,
     sigma = sig_p - k @ sig_p
     vb = 4 * jnp.sqrt(jnp.clip(jnp.linalg.det(sigma), 0))
     vb = jnp.nan_to_num(vb)
-    kfiou = vb / jnp.maximum(vb_p + vb_t - vb, eps)
+    kfiou = vb / (vb_p + vb_t - vb + eps)
     if fun == "ln":
         kf = -jnp.log(kfiou + eps)
     elif fun == "exp":
@@ -260,24 +267,28 @@ def kfiou_loss(pred, target, pred_decode, targets_decode,
     return _reduce(loss, weight, avg_factor)
 
 
-def smooth_focal_loss(logits, labels, gamma=2.0, alpha=0.25,
-                      smoothing=0.1, weight=None, avg_factor=None):
-    """Focal loss with label smoothing (``smooth_focal_loss.py``)."""
-    num_classes = logits.shape[-1]
-    onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
-    onehot = onehot * (1 - smoothing) + smoothing / num_classes
+def smooth_focal_loss(logits, targets, gamma=2.0, alpha=0.25,
+                      weight=None, avg_factor=None):
+    """Smooth Focal Loss from CSL (``smooth_focal_loss.py:10``): focal
+    BCE against SOFT targets (the circular-smooth-label vectors produced
+    by the angle coder). Per-element loss (no class-axis sum — the
+    reference reduces over ALL elements / avg_factor); ``weight``
+    broadcasts, e.g. (N, 1) positive masks."""
     p = jax.nn.sigmoid(logits)
-    ce = jnp.maximum(logits, 0) - logits * onehot + \
+    pt = (1 - p) * targets + p * (1 - targets)
+    focal_weight = (alpha * targets + (1 - alpha) * (1 - targets)) * \
+        pt ** gamma
+    ce = jnp.maximum(logits, 0) - logits * targets + \
         jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    pt = p * onehot + (1 - p) * (1 - onehot)
-    alpha_t = alpha * onehot + (1 - alpha) * (1 - onehot)
-    loss = (alpha_t * ((1 - pt) ** gamma) * ce).sum(-1)
+    loss = ce * focal_weight
     return _reduce(loss, weight, avg_factor)
 
 
 def _kld_gauss_distance(pred, target):
     """Raw (un-sqrted) KL divergence KL(pred || target) between box
-    Gaussians (``gaussian_dist_loss.py:156 kld_loss`` inner math)."""
+    Gaussians with the TARGET covariance inverted — the v1 direction
+    (``gaussian_dist_loss_v1.py:116 kld_loss``; the v2 bag's kld inverts
+    the predicted covariance instead, see :func:`_kld_v2_distance`)."""
     mu_p, sig_p = obb2gaussian(pred)
     mu_t, sig_t = obb2gaussian(target)
     delta = (mu_p - mu_t)[..., None]                  # (..., 2, 1)
@@ -291,52 +302,62 @@ def _kld_gauss_distance(pred, target):
     return jnp.clip(0.5 * (term1 + term2 + term3 - 2), 0)
 
 
-def _gd_postprocess(dist, fun, tau, weight, avg_factor, sqrt=True):
-    """Shared GDLoss post-processing (``gaussian_dist_loss.py:60``)."""
+def _kld_v2_distance(pred, target, alpha=1.0, sqrt=True):
+    """``gaussian_dist_loss.py:160 kld_loss`` inner distance: the
+    PREDICTED covariance is inverted (KL(N_target || N_pred) direction —
+    oracle-verified; note v1 inverts the target instead):
+    0.5 * d^T Sp^-1 d / alpha^2 + 0.5 Tr(Sp^-1 St)
+    + 0.5 (log|Sp| - log|St|) - 1."""
+    mu_p, sig_p = obb2gaussian(pred)
+    mu_t, sig_t = obb2gaussian(target)
+    delta = (mu_p - mu_t)[..., None]                  # (..., 2, 1)
+    inv_p = jnp.linalg.inv(sig_p)
+    xy_dist = 0.5 * jnp.squeeze(
+        jnp.swapaxes(delta, -1, -2) @ inv_p @ delta, (-1, -2))
+    whr = 0.5 * jnp.trace(inv_p @ sig_t, axis1=-2, axis2=-1)
+    whr = whr + 0.5 * (jnp.log(jnp.clip(jnp.linalg.det(sig_p), 1e-30))
+                       - jnp.log(jnp.clip(jnp.linalg.det(sig_t), 1e-30)))
+    dist = xy_dist / (alpha * alpha) + whr - 1.0
     if sqrt:
         dist = jnp.sqrt(jnp.clip(dist, 1e-7))
-    if fun == "log1p":
-        loss = jnp.log1p(dist)
-    elif fun == "sqrt":
-        loss = jnp.sqrt(jnp.clip(dist, 1e-7))
-    else:
-        loss = dist
-    loss = 1 - 1 / (tau + loss) if tau >= 1.0 else loss
-    return _reduce(loss, weight, avg_factor)
+    return dist
 
 
-def kld_loss(pred, target, fun="log1p", tau=1.0,
+def kld_loss(pred, target, fun="log1p", tau=1.0, alpha=1.0, sqrt=True,
              weight=None, avg_factor=None):
-    """Kullback-Leibler divergence loss between box Gaussians."""
-    return _gd_postprocess(_kld_gauss_distance(pred, target),
-                           fun, tau, weight, avg_factor)
+    """Kullback-Leibler divergence loss between box Gaussians
+    (``gaussian_dist_loss.py:160``)."""
+    d = _kld_v2_distance(pred, target, alpha=alpha, sqrt=sqrt)
+    return _reduce(_gd_postprocess_v2(d, fun, tau), weight, avg_factor)
 
 
-def jd_loss(pred, target, fun="log1p", tau=1.0,
+def jd_loss(pred, target, fun="log1p", tau=1.0, alpha=1.0, sqrt=True,
             weight=None, avg_factor=None):
     """Jeffreys (symmetric-KL) divergence loss
-    (``gaussian_dist_loss.py:206 jd_loss``): mean of both KL directions,
-    sqrted then post-processed."""
-    jd = 0.5 * (_kld_gauss_distance(pred, target)
-                + _kld_gauss_distance(target, pred))
-    return _gd_postprocess(jd, fun, tau, weight, avg_factor)
+    (``gaussian_dist_loss.py:206 jd_loss``): mean of both un-sqrted KL
+    directions, sqrted then post-processed."""
+    jd = 0.5 * (_kld_v2_distance(pred, target, alpha, sqrt=False)
+                + _kld_v2_distance(target, pred, alpha, sqrt=False))
+    if sqrt:
+        jd = jnp.sqrt(jnp.clip(jd, 1e-7))
+    return _reduce(_gd_postprocess_v2(jd, fun, tau), weight, avg_factor)
 
 
-def kld_symmax_loss(pred, target, fun="log1p", tau=1.0,
-                    weight=None, avg_factor=None):
+def kld_symmax_loss(pred, target, fun="log1p", tau=1.0, alpha=1.0,
+                    sqrt=True, weight=None, avg_factor=None):
     """Symmetric-max KLD (``gaussian_dist_loss.py:243``): elementwise max
-    of the two sqrted KL directions."""
-    d = jnp.maximum(jnp.sqrt(jnp.clip(_kld_gauss_distance(pred, target), 1e-7)),
-                    jnp.sqrt(jnp.clip(_kld_gauss_distance(target, pred), 1e-7)))
-    return _gd_postprocess(d, fun, tau, weight, avg_factor, sqrt=False)
+    of the two (sqrted) KL directions."""
+    d = jnp.maximum(_kld_v2_distance(pred, target, alpha, sqrt=sqrt),
+                    _kld_v2_distance(target, pred, alpha, sqrt=sqrt))
+    return _reduce(_gd_postprocess_v2(d, fun, tau), weight, avg_factor)
 
 
-def kld_symmin_loss(pred, target, fun="log1p", tau=1.0,
-                    weight=None, avg_factor=None):
+def kld_symmin_loss(pred, target, fun="log1p", tau=1.0, alpha=1.0,
+                    sqrt=True, weight=None, avg_factor=None):
     """Symmetric-min KLD (``gaussian_dist_loss.py:274``)."""
-    d = jnp.minimum(jnp.sqrt(jnp.clip(_kld_gauss_distance(pred, target), 1e-7)),
-                    jnp.sqrt(jnp.clip(_kld_gauss_distance(target, pred), 1e-7)))
-    return _gd_postprocess(d, fun, tau, weight, avg_factor, sqrt=False)
+    d = jnp.minimum(_kld_v2_distance(pred, target, alpha, sqrt=sqrt),
+                    _kld_v2_distance(target, pred, alpha, sqrt=sqrt))
+    return _reduce(_gd_postprocess_v2(d, fun, tau), weight, avg_factor)
 
 
 #: GDLoss variant bag (``gaussian_dist_loss.py:330 BAG_GD_LOSS``).

@@ -141,3 +141,117 @@ def load_reference_module(fname: str = "convnext_moe.py",
     exec(compile(src, module.__file__, "exec"), module.__dict__)
     sys.modules[modname] = module
     return module
+
+
+# ---------------------------------------------------------------------------
+# mmdet loss-utility stubs + generic loader for any reference source file
+# ---------------------------------------------------------------------------
+
+def _install_mmdet_loss_stubs():
+    """Faithful stand-ins for mmdet's loss weighting utilities
+    (``mmdet/models/losses/utils.py`` — standard public idioms, not
+    reference-specific logic): ``weighted_loss`` applies elementwise
+    weight, then reduction or sum/avg_factor."""
+    import functools
+
+    import torch
+
+    def mod(name):
+        m = sys.modules.get(name)
+        if m is None:
+            m = types.ModuleType(name)
+            sys.modules[name] = m
+        return m
+
+    def reduce_loss(loss, reduction):
+        if reduction == "none":
+            return loss
+        if reduction == "mean":
+            return loss.mean()
+        if reduction == "sum":
+            return loss.sum()
+        raise ValueError(reduction)
+
+    def weight_reduce_loss(loss, weight=None, reduction="mean",
+                           avg_factor=None):
+        if weight is not None:
+            loss = loss * weight
+        if avg_factor is None:
+            return reduce_loss(loss, reduction)
+        if reduction == "mean":
+            return loss.sum() / avg_factor
+        if reduction != "none":
+            raise ValueError("avg_factor incompatible with sum")
+        return loss
+
+    def weighted_loss(loss_func):
+        @functools.wraps(loss_func)
+        def wrapper(pred, target, weight=None, reduction="mean",
+                    avg_factor=None, **kwargs):
+            loss = loss_func(pred, target, **kwargs)
+            return weight_reduce_loss(loss, weight, reduction, avg_factor)
+        return wrapper
+
+    lu = mod("mmdet.models.losses.utils")
+    lu.weighted_loss = weighted_loss
+    lu.weight_reduce_loss = weight_reduce_loss
+    lu.reduce_loss = reduce_loss
+    mod("mmdet.models.losses").utils = lu
+    mm = mod("mmdet.models")
+    mm.losses = sys.modules["mmdet.models.losses"]
+    mm.weight_reduce_loss = weight_reduce_loss
+
+    def accuracy(pred, target, topk=1):
+        return torch.zeros(())
+
+    mm.losses.accuracy = accuracy
+    mm.accuracy = accuracy
+    mod("mmdet")
+
+
+_GENERIC_REGISTRY_SHIM = '''
+class _RefRegistry:
+    @staticmethod
+    def register_module(*a, **k):
+        def deco(cls):
+            return cls
+        return deco
+ROTATED_LOSSES = _RefRegistry()
+ROTATED_HEADS = _RefRegistry()
+ROTATED_BBOX_CODERS = _RefRegistry()
+
+def build_loss(cfg):
+    raise NotImplementedError("stub: inject losses directly in tests")
+'''
+
+
+def load_reference_source(path: str, modname: str,
+                          replacements: dict | None = None):
+    """Exec an arbitrary reference source file with the framework shells
+    stubbed. ``replacements`` maps exact source substrings (usually the
+    package-relative imports that cannot resolve) to substitutes; the
+    ``from ..builder import ...`` registry imports are always shimmed."""
+    if modname in sys.modules:
+        return sys.modules[modname]
+    _install_stubs()
+    _install_mmdet_loss_stubs()
+    src = open(path).read()
+    import re
+    src = re.sub(r"from (?:\.|\.\.|\.\.\.)+builder import [A-Za-z_, ]+",
+                 "pass", src)
+    src = _GENERIC_REGISTRY_SHIM + "\n" + src
+    for old, new in (replacements or {}).items():
+        src = src.replace(old, new)
+    module = types.ModuleType(modname)
+    module.__file__ = path
+    exec(compile(src, path, "exec"), module.__dict__)
+    sys.modules[modname] = module
+    return module
+
+
+def load_reference_loss(fname: str):
+    """Load ``/root/reference/mmrotate/models/losses/<fname>`` as an
+    oracle module (pure torch after the registry/utility shims)."""
+    return load_reference_source(
+        f"/root/reference/mmrotate/models/losses/{fname}",
+        "ref_loss_" + fname.replace(".py", ""))
