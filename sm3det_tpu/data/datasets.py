@@ -74,9 +74,10 @@ class DOTADataset(BaseDetDataset):
         self.img_folder = img_folder
         self.version = version
         self.filter_difficulty = filter_difficulty
-        # annotation pickle cache through fileio (dota.py:66,156)
+        # annotation pickle cache through fileio (dota.py:66,156); v2
+        # carries the ignore arrays — stale v1 caches are rebuilt
         from ..utils import fileio
-        cache_path = os.path.join(ann_folder, ".sm3det_cache.pkl")
+        cache_path = os.path.join(ann_folder, ".sm3det_cache_v2.pkl")
         if cache and os.path.exists(cache_path):
             self.infos = fileio.load(cache_path)
         else:
@@ -94,6 +95,7 @@ class DOTADataset(BaseDetDataset):
                 continue
             img_id = fname[:-4]
             polys, labels = [], []
+            polys_ign, labels_ign = [], []
             with open(os.path.join(self.ann_folder, fname)) as f:
                 for line in f:
                     parts = line.split()
@@ -108,15 +110,26 @@ class DOTADataset(BaseDetDataset):
                     if cls not in self.cls_to_id:
                         continue
                     if diff > self.filter_difficulty:
-                        continue
-                    polys.append(poly)
-                    labels.append(self.cls_to_id[cls])
-            obbs = poly2obb_np(
-                np.asarray(polys, np.float32), self.version) \
-                if polys else np.zeros((0, 5), np.float32)
-            infos.append(dict(img_id=img_id,
-                              obbs=obbs,
-                              labels=np.asarray(labels, np.int32)))
+                        # difficult gts are KEPT as ignore boxes, not
+                        # dropped: the reference routes them to
+                        # gt_bboxes_ignore so eval scores detections on
+                        # them as neither tp nor fp (dota.py:97-139)
+                        polys_ign.append(poly)
+                        labels_ign.append(self.cls_to_id[cls])
+                    else:
+                        polys.append(poly)
+                        labels.append(self.cls_to_id[cls])
+
+            def to_obb(p):
+                return poly2obb_np(np.asarray(p, np.float32),
+                                   self.version) \
+                    if p else np.zeros((0, 5), np.float32)
+
+            infos.append(dict(
+                img_id=img_id, obbs=to_obb(polys),
+                labels=np.asarray(labels, np.int32),
+                obbs_ignore=to_obb(polys_ign),
+                labels_ignore=np.asarray(labels_ign, np.int32)))
         return infos
 
     def __len__(self):
@@ -125,8 +138,12 @@ class DOTADataset(BaseDetDataset):
     def get_raw(self, idx: int) -> Dict:
         info = self.infos[idx]
         img = self._read_image(info["img_id"])
-        return dict(img=img, obbs=info["obbs"].copy(),
-                    labels=info["labels"].copy(), img_id=info["img_id"])
+        out = dict(img=img, obbs=info["obbs"].copy(),
+                   labels=info["labels"].copy(), img_id=info["img_id"])
+        if len(info.get("obbs_ignore", ())):
+            out["obbs_ignore"] = info["obbs_ignore"].copy()
+            out["labels_ignore"] = info["labels_ignore"].copy()
+        return out
 
     def _read_image(self, img_id: str) -> np.ndarray:
         for ext in (".png", ".jpg", ".bmp", ".tif"):

@@ -246,7 +246,13 @@ def main():
             dets[:, :4] /= scale                 # back to original coords
             det_results.append([dets[labels == c] for c in range(nc)])
             key = "hbbs" if sub == "sar" else "obbs"
-            annotations.append(dict(bboxes=raw[key], labels=raw["labels"]))
+            ann = dict(bboxes=raw[key], labels=raw["labels"])
+            if raw.get(key + "_ignore") is not None:
+                # difficult gts -> ignore semantics (tpfp_default,
+                # reference eval_map.py:14-126)
+                ann["bboxes_ignore"] = raw[key + "_ignore"]
+                ann["labels_ignore"] = raw["labels_ignore"]
+            annotations.append(ann)
             img_ids.append(str(raw.get("img_id", len(img_ids))))
 
     # one-deep dispatch pipeline: batch k computes on device while
@@ -282,8 +288,11 @@ def main():
               f"({len(merged)} merged images)")
         return
 
+    ev = cfg.get("evaluation")
+    scale_ranges = ev.get("scale_ranges") if ev is not None else None
     res = eval_rbbox_map(det_results, annotations,
-                         box_dim=4 if sub == "sar" else 5)
+                         box_dim=4 if sub == "sar" else 5,
+                         scale_ranges=scale_ranges)
     print(res)
     if args.out:
         from sm3det_tpu.utils import fileio
