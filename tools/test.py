@@ -86,8 +86,9 @@ def main():
 
     import jax
     import numpy as np
+    from sm3det_tpu.apis.eval_loop import (make_uint8_test_fn,
+                                           preprocess_uint8, stream_eval)
     from sm3det_tpu.core.evaluation.eval_map import eval_rbbox_map
-    from sm3det_tpu.data import transforms as T
     from sm3det_tpu.data.loader import PipelineCfg
     from sm3det_tpu.models.detectors.trisource import TriSourceDetector
     from sm3det_tpu.train.train_state import init_trisource
@@ -111,36 +112,9 @@ def main():
     pipe = PipelineCfg(img_size=cfg.img_size, version=cfg.angle_version)
     S = cfg.img_size
 
-    def preprocess(raw):
-        """Eval host pipeline: keep-ratio resize + pad only, staying
-        uint8 — normalization runs IN-GRAPH on device (4x less
-        host->device traffic and no per-image host normalize; this host
-        has one core, so host work is the eval throughput ceiling).
-        Returns (img (S,S,3) uint8, scale) so dets can be mapped back
-        to original coords (reference rescale=True)."""
-        img = raw["img"]
-        h, w = img.shape[:2]
-        scale = min(S / h, S / w)
-        img, _, _, _ = T.resize(img, (S, S), None, None, keep_ratio=True)
-        if img.dtype != np.uint8:
-            # bilinear resize promotes to float32; cast back so the host
-            # pipeline stays uint8 end-to-end (one jit signature, 4x less
-            # host->device traffic)
-            img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
-        if img.shape[:2] != (S, S):
-            # pad with mean-valued pixels (BGR layout, so after the
-            # in-graph BGR->RGB permute + normalize the band is ~0 —
-            # matching the train pipeline's normalize-then-zero-pad order,
-            # reference Normalize->Pad)
-            out = np.empty((S, S) + img.shape[2:], np.uint8)
-            out[...] = np.rint(np.asarray(pipe.mean)[::-1]).astype(np.uint8)
-            out[:img.shape[0], :img.shape[1]] = img
-            img = out
-        return np.ascontiguousarray(img), scale
-
     # init / load params
     g0 = 8
-    img0, _ = preprocess(ds.get_raw(0))
+    img0, _ = preprocess_uint8(ds.get_raw(0), S, pipe.mean)
     dummy = np.zeros((1, S, S, 3), np.float32)
     dummy_batch = {
         "sar": {"img": dummy, "gt_bboxes": np.zeros((1, g0, 4), np.float32),
@@ -163,25 +137,10 @@ def main():
     method = {"sar": "simple_test_sar", "rgb": "simple_test_rgb",
               "ifr": "simple_test_ifr"}[sub]
     bs = max(args.batch_size, 1)
-    # in-graph normalization: uint8 -> f32, BGR->RGB via gather (a
-    # ::-1 reverse inside big graphs crashes libtpu's fusion emitter),
-    # then (x - mean) / std — mirrors T.normalize(to_rgb=True)
-    import jax.numpy as jnp
-    mean_d = jnp.asarray(pipe.mean, jnp.float32)
-    inv_std_d = jnp.asarray(1.0 / np.asarray(pipe.std, np.float32))
-    chan_perm = jnp.asarray([2, 1, 0])
-
-    def _fwd(v, x_u8):
-        xf = x_u8.astype(jnp.float32)
-        xf = jnp.take(xf, chan_perm, axis=-1)
-        xf = (xf - mean_d) * inv_std_d
-        return model.apply(v, xf, (S, S), method=method)
-
-    test_fn = jax.jit(_fwd)
+    test_fn = make_uint8_test_fn(model, method, S, pipe.mean, pipe.std)
 
     n_total = len(ds) if args.num_images is None \
         else min(args.num_images, len(ds))
-    det_results, annotations, img_ids = [], [], []
     variables = {"params": params}
 
     # compile outside the timed window (the reference's benchmark.py
@@ -192,84 +151,17 @@ def main():
     jax.device_get(test_fn(variables, warm)[2])
     t0 = time.perf_counter()
 
-    # producer thread + pool: host pipeline overlaps device inference
-    # (the reference's multi-worker eval DataLoader)
-    import queue
-    import threading
-    from concurrent.futures import ThreadPoolExecutor
-    bq: "queue.Queue" = queue.Queue(maxsize=2)
-
-    producer_exc: list = []
-
-    def producer():
-        # always enqueue the sentinel, even on error — otherwise a data
-        # error in this daemon thread would leave the consumer blocked on
-        # bq.get() forever; the exception is re-raised in the main thread
-        try:
-            with ThreadPoolExecutor(4) as pool:
-                for start in range(0, n_total, bs):
-                    idxs = list(range(start, min(start + bs, n_total)))
-                    raws = list(pool.map(ds.get_raw, idxs))
-                    pre = list(pool.map(preprocess, raws))
-                    imgs = np.stack([p[0] for p in pre])
-                    if len(idxs) < bs:  # pad the tail batch (static shapes)
-                        imgs = np.concatenate(
-                            [imgs, np.repeat(imgs[-1:], bs - len(idxs), 0)])
-                    bq.put((raws, pre, imgs))
-        except BaseException as e:          # noqa: BLE001
-            producer_exc.append(e)
-        finally:
-            bq.put(None)
-
-    threading.Thread(target=producer, daemon=True).start()
-    done = 0
-    ncol = 5 if sub == "sar" else 6
-
-    def consume(pending):
-        """device_get one finished batch and postprocess on host."""
-        nonlocal done
-        raws, pre, fut = pending
-        dets_b, labels_b, valid_b = jax.device_get(fut)
-        done += len(raws)
-        if done % (bs * 8) < bs or done >= n_total:
-            print(f"  [{done}/{n_total}] "
+    def progress(done, n):
+        if done % (bs * 8) < bs or done >= n:
+            print(f"  [{done}/{n}] "
                   f"{done / (time.perf_counter() - t0):.1f} img/s",
                   flush=True)
-        for j, (raw, (_, scale)) in enumerate(zip(raws, pre)):
-            # compact to valid rows ONCE, then split the small array by
-            # class (26 masks over max_det slots per image was the host
-            # postprocess hot spot on this 1-core machine)
-            v = np.asarray(valid_b[j])
-            dets = np.asarray(dets_b[j])[v, :ncol].astype(
-                np.float32, copy=True)
-            labels = np.asarray(labels_b[j])[v]
-            dets[:, :4] /= scale                 # back to original coords
-            det_results.append([dets[labels == c] for c in range(nc)])
-            key = "hbbs" if sub == "sar" else "obbs"
-            ann = dict(bboxes=raw[key], labels=raw["labels"])
-            if raw.get(key + "_ignore") is not None:
-                # difficult gts -> ignore semantics (tpfp_default,
-                # reference eval_map.py:14-126)
-                ann["bboxes_ignore"] = raw[key + "_ignore"]
-                ann["labels_ignore"] = raw["labels_ignore"]
-            annotations.append(ann)
-            img_ids.append(str(raw.get("img_id", len(img_ids))))
 
-    # one-deep dispatch pipeline: batch k computes on device while
-    # batch k-1's results are fetched + postprocessed on host
-    pending = None
-    while True:
-        item = bq.get()
-        if item is not None:
-            raws, pre, imgs = item
-            fut = test_fn(variables, imgs)       # async dispatch
-        if pending is not None:
-            consume(pending)
-        if item is None:
-            break
-        pending = (raws, pre, fut)
-    if producer_exc:
-        raise producer_exc[0]
+    det_results, annotations, img_ids = stream_eval(
+        test_fn, variables, ds, S, pipe.mean,
+        num_classes=nc, box_dim=4 if sub == "sar" else 5,
+        gt_key="hbbs" if sub == "sar" else "obbs",
+        batch_size=bs, indices=range(n_total), progress=progress)
     dt = time.perf_counter() - t0
     print(f"inference: {n_total} images in {dt:.1f}s "
           f"({n_total / dt:.2f} img/s, batch={bs})", flush=True)

@@ -41,6 +41,10 @@ def parse_args():
                    help="override max_iters (smoke runs)")
     p.add_argument("--synthetic-data", action="store_true",
                    help="force synthetic fixtures instead of real data")
+    p.add_argument("--allow-synthetic", action="store_true",
+                   help="permit silent synthetic fallback when a real "
+                        "data root is missing (otherwise a missing root "
+                        "in a non---synthetic-data run aborts)")
     p.add_argument("--num-devices", type=int, default=None,
                    help="use the first N local devices (default: all)")
     p.add_argument("--cfg-options", nargs="+", default=[])
@@ -78,14 +82,25 @@ def init_distributed():
           f"{jax.local_device_count()} local devices")
 
 
-def build_datasets(cfg, synthetic: bool, seed_offset: int = 0):
+def build_datasets(cfg, synthetic: bool, seed_offset: int = 0,
+                   split: str = "train", allow_synthetic: bool = True):
     """seed_offset > 0 builds held-out synthetic val splits (different
-    draws from the same distribution)."""
-    from sm3det_tpu.data.datasets import build_dataset
+    draws from the same distribution). ``split='val'`` reads
+    ``cfg.data.val[key]`` when configured (reference EvalHooks evaluate
+    the val split, ``mmrotate/apis/train.py:100-166``), falling back to
+    the train section per modality. ``allow_synthetic=False`` aborts a
+    real-data run whose data roots are missing instead of silently
+    evaluating synthetic fixtures."""
+    from sm3det_tpu.data.datasets import SyntheticDetDataset, build_dataset
+    section = cfg.data
+    if split == "val" and cfg.data.get("val") is not None:
+        section = cfg.data.val
     out = []
     for i0, key in enumerate(("sar", "rgb", "ifr")):
         i = i0 + seed_offset
-        dcfg = cfg.data[key].to_dict()
+        dcfg = section[key] if section.get(key) is not None \
+            else cfg.data[key]
+        dcfg = dcfg.to_dict()
         dtype = dcfg.get("type")
         box_type = "hbb" if key == "sar" else "obb"
         fallback = dict(n=64, img_size=cfg.img_size,
@@ -98,7 +113,6 @@ def build_datasets(cfg, synthetic: bool, seed_offset: int = 0):
                 dcfg.setdefault(k, v)
             ds = build_dataset(dcfg, version=cfg.angle_version)
         elif synthetic:
-            from sm3det_tpu.data.datasets import SyntheticDetDataset
             ds = SyntheticDetDataset(**fallback)
         else:
             # recursive builder: handles Concat/Repeat/ClassBalanced
@@ -106,6 +120,17 @@ def build_datasets(cfg, synthetic: bool, seed_offset: int = 0):
             # to synthetic fixtures when data roots are absent
             ds = build_dataset(dcfg, version=cfg.angle_version,
                                synthetic_fallback=fallback)
+            if isinstance(ds, SyntheticDetDataset) and \
+                    dtype != "SyntheticDetDataset":
+                msg = (f"data root(s) missing for {split}/{key} "
+                       f"({dtype}); this run would silently train/eval "
+                       f"on SYNTHETIC fixtures")
+                if not allow_synthetic:
+                    raise SystemExit(
+                        msg + " — pass --synthetic-data or "
+                              "--allow-synthetic to permit this")
+                print(f"WARNING: {msg} (--allow-synthetic given)",
+                      flush=True)
         out.append(ds)
     return out
 
@@ -179,7 +204,8 @@ def main():
         mesh = make_mesh(n_dev, expert_parallel=ep)
         print(f"mesh: {n_dev} devices = {dp} data x {ep} expert")
 
-    datasets = build_datasets(cfg, args.synthetic_data)
+    datasets = build_datasets(cfg, args.synthetic_data,
+                              allow_synthetic=args.allow_synthetic)
     base_ratio = list(cfg.source_ratio)
     ratio = [r * dp for r in base_ratio]  # global per-step composition
     pipes = [PipelineCfg.from_config(
@@ -278,39 +304,39 @@ def main():
         jstep = jax.jit(step, donate_argnums=(0,))
 
     # multi-val evaluation (the reference registers one EvalHook per
-    # modality, mmrotate/apis/train.py:100-166)
+    # modality over cfg.data.val, mmrotate/apis/train.py:100-166); the
+    # streaming uint8 loop is shared with tools/test.py
+    # (apis/eval_loop.py) so memory stays O(batch) at full-val scale
     eval_fns = None
     eval_interval = None
     if cfg.get("evaluation") is not None:
+        from sm3det_tpu.apis.eval_loop import (make_uint8_test_fn,
+                                               stream_eval)
         from sm3det_tpu.core.evaluation.eval_map import eval_rbbox_map
-        from sm3det_tpu.data.loader import run_pipeline
 
         eval_interval = cfg.evaluation.get("interval")
         # num_images=None (or <=0) means the WHOLE val set per eval pass
-        # (reference behavior: EvalHook evaluates the full val split,
-        # mmrotate/apis/train.py:100-166)
+        # (reference behavior: EvalHook evaluates the full val split)
         n_eval = cfg.evaluation.get("num_images", 16)
         n_eval = int(n_eval) if n_eval else 0
         val_sets = build_datasets(
             cfg, args.synthetic_data,
-            seed_offset=int(cfg.evaluation.get("seed_offset", 0)))
+            seed_offset=int(cfg.evaluation.get("seed_offset", 0)),
+            split="val", allow_synthetic=args.allow_synthetic)
+        scale_ranges = cfg.evaluation.get("scale_ranges")
 
         def make_eval(sub, ds, pipe):
             method = {"sar": "simple_test_sar", "rgb": "simple_test_rgb",
                       "ifr": "simple_test_ifr"}[sub]
-            tfn = jax.jit(lambda v, x: model.apply(
-                {"params": v}, x, (cfg.img_size, cfg.img_size),
-                method=method))
+            tfn = make_uint8_test_fn(model, method, cfg.img_size,
+                                     pipe.mean, pipe.std)
             box_dim = 4 if sub == "sar" else 5
-            key = "hbbs" if sub == "sar" else "obbs"
-
             eval_bs = int(cfg.evaluation.get("batch_size", 8))
             eval_workers = int(cfg.evaluation.get("num_workers", 4))
 
             def run(state):
-                from concurrent.futures import ThreadPoolExecutor
-                from sm3det_tpu.parallel.collect import (collect_results_cpu,
-                                                         shard_indices)
+                from sm3det_tpu.parallel.collect import (
+                    collect_results_cpu, shard_indices)
                 n = min(n_eval, len(ds)) if n_eval > 0 else len(ds)
                 # multi-process: each process evaluates its stride of the
                 # val set; results gathered below (collect_results parity,
@@ -321,57 +347,25 @@ def main():
                     # fully-replicated global arrays -> host copy usable
                     # with the local-device eval jit
                     params = jax.device_get(params)
-
-                prng = np.random.RandomState(0)
-
-                def prep(i):
-                    raw = ds.get_raw(i)
-                    return raw, run_pipeline(prng, raw, pipe,
-                                             train=False)["img"]
-
-                part_results = []
-                with ThreadPoolExecutor(max(eval_workers, 1)) as pool:
-                    prepped = pool.map(prep, my_idx)
-                    raws, imgs = [], []
-                    for raw, img in prepped:
-                        raws.append(raw)
-                        imgs.append(img)
-                # batched jitted inference (pad the tail batch)
-                for b0 in range(0, len(imgs), eval_bs):
-                    chunk = imgs[b0:b0 + eval_bs]
-                    pad = eval_bs - len(chunk)
-                    x = np.stack(chunk + [chunk[-1]] * pad)
-                    dets_b, labels_b, valid_b = jax.device_get(
-                        tfn(params, x))
-                    for j in range(len(chunk)):
-                        dets, labels, valid = (dets_b[j], labels_b[j],
-                                               valid_b[j])
-                        per_class = []
-                        for c in range(cfg.num_classes):
-                            sel = valid & (labels == c)
-                            per_class.append(
-                                dets[sel][:, :box_dim + 1]
-                                if sub != "sar" else np.concatenate(
-                                    [dets[sel][:, :4], dets[sel][:, 4:5]],
-                                    -1))
-                        raw = raws[b0 + j]
-                        part_results.append(
-                            (per_class,
-                             dict(bboxes=raw[key], labels=raw["labels"])))
-                gathered = collect_results_cpu(part_results, n)
+                dets, anns, _ = stream_eval(
+                    tfn, {"params": params}, ds, cfg.img_size, pipe.mean,
+                    num_classes=cfg.num_classes, box_dim=box_dim,
+                    gt_key="hbbs" if sub == "sar" else "obbs",
+                    batch_size=eval_bs, indices=my_idx,
+                    num_workers=eval_workers)
+                gathered = collect_results_cpu(list(zip(dets, anns)), n)
                 if gathered is None:    # non-zero rank
                     return None
-                det_results = [g[0] for g in gathered]
-                annotations = [g[1] for g in gathered]
-                return eval_rbbox_map(det_results, annotations,
-                                      box_dim=box_dim, logger=None)
+                return eval_rbbox_map([g[0] for g in gathered],
+                                      [g[1] for g in gathered],
+                                      box_dim=box_dim,
+                                      scale_ranges=scale_ranges,
+                                      logger=None)
 
             return run
 
-        pipes_eval = [PipelineCfg(img_size=cfg.img_size,
-                                  version=cfg.angle_version)] * 3
         eval_fns = {
-            sub: make_eval(sub, val_sets[i], pipes_eval[i])
+            sub: make_eval(sub, val_sets[i], pipes[i])
             for i, sub in enumerate(("sar", "rgb", "ifr"))}
 
     max_iters = args.max_iters or cfg.get("max_iters", 1000)
