@@ -116,5 +116,14 @@ def run_training(train_step: Callable, state, data_iter: Iterator,
                 res = fn(state)
                 if res is not None:     # None on non-zero ranks
                     logger(f"eval[{name}] @ {it + 1}: {res}")
+                    if is_main:
+                        # persist eval metrics next to the loss curve
+                        # (reference: EvalHook -> log_buffer -> json log)
+                        line = {"iter": it + 1, "mode": "val",
+                                "dataset": name}
+                        line.update({k: v for k, v in res.items()
+                                     if isinstance(v, (int, float))})
+                        with open(log_path, "a") as f:
+                            f.write(json.dumps(line) + "\n")
 
     return state

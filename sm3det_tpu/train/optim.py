@@ -23,24 +23,86 @@ from .dla import (DLAConfig, DLAState, dla_multipliers, init_dla_state,
                   label_params)
 
 
-def step_lr(base_lr: float, step_iters: Sequence[int], gamma: float = 0.1,
-            warmup_iters: int = 500, warmup_ratio: float = 1.0 / 3.0):
-    """mmcv step policy + linear warmup as a jnp schedule fn."""
+def _apply_warmup(lr, it, warmup: str, warmup_iters: int,
+                  warmup_ratio: float):
+    """mmcv ``LrUpdaterHook.get_warmup_lr`` (lr_updater.py:87-100):
+    constant / linear / exp warmup applied to the regular lr."""
+    if not warmup_iters or warmup is None:
+        return lr
+    if warmup == "constant":
+        warm = lr * warmup_ratio
+    elif warmup == "linear":
+        k = (1.0 - it / warmup_iters) * (1.0 - warmup_ratio)
+        warm = lr * (1.0 - k)
+    elif warmup == "exp":
+        warm = lr * warmup_ratio ** (1.0 - it / warmup_iters)
+    else:
+        raise ValueError(f"unknown warmup {warmup!r}")
+    return jnp.where(it < warmup_iters, warm, lr)
+
+
+def make_lr_schedule(policy: str = "step", base_lr: float = 1e-4,
+                     step_iters: Sequence[int] = (), gamma: float = 0.1,
+                     min_lr: Optional[float] = None,
+                     min_lr_ratio: Optional[float] = None,
+                     power: float = 1.0, max_iters: int = 1,
+                     warmup: str = "linear", warmup_iters: int = 500,
+                     warmup_ratio: float = 1.0 / 3.0):
+    """LR-updater zoo as jnp schedule fns (by-iter policies of
+    ``mmcv/mmcv/runner/hooks/lr_updater.py``):
+
+    - ``step``: x gamma at each configured iter (``:171``)
+    - ``cosine``: annealing_cos to min_lr / min_lr_ratio*base over
+      max_iters (``:269``, ``annealing_cos`` ``:708``)
+    - ``poly``: (base - min) * (1 - t/T)^power + min (``:234``)
+    - ``exp``: base * gamma^iter (``:222``)
+    - ``inv``: base * (1 + gamma*iter)^-power (``:256``)
+    - ``fixed``: constant (``:161``)
+
+    DLA ('dynamic') runs as step + in-graph multipliers (train/dla.py).
+    """
     step_iters = tuple(step_iters)
+
+    def regular(it):
+        if policy in ("step", "dynamic"):
+            exp = jnp.zeros((), jnp.float32)
+            for s in step_iters:
+                exp = exp + (it >= s).astype(jnp.float32)
+            lr = base_lr * (gamma ** exp)
+            return jnp.maximum(lr, min_lr) if min_lr is not None else lr
+        if policy == "cosine":
+            target = base_lr * min_lr_ratio if min_lr_ratio is not None \
+                else (min_lr or 0.0)
+            frac = jnp.clip(it / max_iters, 0.0, 1.0)
+            return target + 0.5 * (base_lr - target) * \
+                (1.0 + jnp.cos(jnp.pi * frac))
+        if policy == "poly":
+            lo = min_lr or 0.0
+            coeff = (1.0 - jnp.clip(it / max_iters, 0.0, 1.0)) ** power
+            return (base_lr - lo) * coeff + lo
+        if policy == "exp":
+            return base_lr * gamma ** it
+        if policy == "inv":
+            return base_lr * (1.0 + gamma * it) ** (-power)
+        if policy == "fixed":
+            return jnp.full((), base_lr, jnp.float32)
+        raise ValueError(f"unknown lr policy {policy!r}")
 
     def schedule(it):
         it = it.astype(jnp.float32) if hasattr(it, "astype") else \
             jnp.asarray(it, jnp.float32)
-        exp = jnp.zeros((), jnp.float32)
-        for s in step_iters:
-            exp = exp + (it >= s).astype(jnp.float32)
-        lr = base_lr * (gamma ** exp)
-        # linear warmup: lr * (1 - (1 - it/warmup) * (1 - ratio))
-        k = (1.0 - it / warmup_iters) * (1.0 - warmup_ratio)
-        warm = lr * (1.0 - k)
-        return jnp.where(it < warmup_iters, warm, lr)
+        return _apply_warmup(regular(it), it, warmup, warmup_iters,
+                             warmup_ratio)
 
     return schedule
+
+
+def step_lr(base_lr: float, step_iters: Sequence[int], gamma: float = 0.1,
+            warmup_iters: int = 500, warmup_ratio: float = 1.0 / 3.0):
+    """mmcv step policy + linear warmup as a jnp schedule fn."""
+    return make_lr_schedule("step", base_lr, step_iters, gamma,
+                            warmup_iters=warmup_iters,
+                            warmup_ratio=warmup_ratio)
 
 
 class TrainOptState(NamedTuple):
@@ -59,7 +121,11 @@ def make_optimizer(base_lr: float = 1e-4, weight_decay: float = 0.05,
                    warmup_iters: int = 500, warmup_ratio: float = 1. / 3.,
                    dla_cfg: Optional[DLAConfig] = None,
                    accumulate: int = 1,
-                   layer_decay: Optional[Dict] = None):
+                   layer_decay: Optional[Dict] = None,
+                   lr_policy: str = "step", warmup: str = "linear",
+                   min_lr: Optional[float] = None,
+                   min_lr_ratio: Optional[float] = None,
+                   power: float = 1.0, max_iters: int = 1):
     """Returns (init_fn(params) -> TrainOptState,
                 update_fn(grads, state, params, losses) -> (updates, state)).
 
@@ -69,9 +135,13 @@ def make_optimizer(base_lr: float = 1e-4, weight_decay: float = 0.05,
     ``layer_decay=dict(rate, num_layers)`` applies per-depth LR multipliers
     (``LayerDecayOptimizerConstructor``,
     mmcv_custom/layer_decay_optimizer_constructor.py:30).
+    ``lr_policy`` selects from the LR-updater zoo (see make_lr_schedule).
     """
-    schedule = step_lr(base_lr, step_iters, gamma, warmup_iters,
-                       warmup_ratio)
+    schedule = make_lr_schedule(
+        lr_policy, base_lr, step_iters, gamma, min_lr=min_lr,
+        min_lr_ratio=min_lr_ratio, power=power, max_iters=max_iters,
+        warmup=warmup, warmup_iters=warmup_iters,
+        warmup_ratio=warmup_ratio)
     # learning_rate=1.0: the schedule (and DLA multiplier) scales updates
     # explicitly per-label below.
     chain = [optax.scale_by_adam(b1=betas[0], b2=betas[1])]

@@ -7,6 +7,8 @@ import os
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from sm3det_tpu.train.loggers import TextLogger, build_loggers
 from sm3det_tpu.train.loop import LogBuffer
 from sm3det_tpu.train.optim import step_lr
@@ -60,3 +62,66 @@ def test_build_loggers_text_only(tmp_path):
     logs[0].log({"a": 1.0}, step=0)
     for lg in logs:
         lg.close()
+
+
+def test_cosine_lr_trajectory_matches_mmcv_semantics():
+    """CosineAnnealingLrUpdaterHook (lr_updater.py:269 + annealing_cos
+    :708): target + 0.5*(base-target)*(1+cos(pi*t/T)), linear warmup."""
+    import numpy as np
+    from sm3det_tpu.train.optim import make_lr_schedule
+    base, ratio, T, wi, wr = 1e-3, 0.05, 1000, 100, 1.0 / 3
+    sched = make_lr_schedule("cosine", base, min_lr_ratio=ratio,
+                             max_iters=T, warmup="linear",
+                             warmup_iters=wi, warmup_ratio=wr)
+    target = base * ratio
+    for it in (0, 50, 99, 100, 250, 500, 999, 1000):
+        regular = target + 0.5 * (base - target) * \
+            (1 + np.cos(np.pi * min(it / T, 1.0)))
+        if it < wi:
+            k = (1 - it / wi) * (1 - wr)
+            expect = regular * (1 - k)
+        else:
+            expect = regular
+        got = float(sched(jnp.asarray(it)))
+        assert abs(got - expect) < 1e-9, (it, got, expect)
+    # min_lr form
+    sched2 = make_lr_schedule("cosine", base, min_lr=1e-5, max_iters=T,
+                              warmup=None, warmup_iters=0)
+    assert abs(float(sched2(jnp.asarray(T))) - 1e-5) < 1e-10
+
+
+def test_poly_exp_inv_fixed_lr_trajectories():
+    """Poly/Exp/Inv/Fixed updaters (lr_updater.py:222-265)."""
+    from sm3det_tpu.train.optim import make_lr_schedule
+    base = 2e-3
+    poly = make_lr_schedule("poly", base, min_lr=1e-4, power=0.9,
+                            max_iters=100, warmup=None, warmup_iters=0)
+    expect = (base - 1e-4) * (1 - 40 / 100) ** 0.9 + 1e-4
+    assert abs(float(poly(jnp.asarray(40))) - expect) < 1e-9
+    assert abs(float(poly(jnp.asarray(100))) - 1e-4) < 1e-9
+
+    exp = make_lr_schedule("exp", base, gamma=0.999, warmup=None,
+                           warmup_iters=0)
+    assert abs(float(exp(jnp.asarray(500))) - base * 0.999 ** 500) < 1e-7
+
+    inv = make_lr_schedule("inv", base, gamma=0.001, power=0.75,
+                           warmup=None, warmup_iters=0)
+    assert abs(float(inv(jnp.asarray(200))) -
+               base * (1 + 0.001 * 200) ** -0.75) < 1e-9
+
+    fixed = make_lr_schedule("fixed", base, warmup="constant",
+                             warmup_iters=10, warmup_ratio=0.1)
+    assert abs(float(fixed(jnp.asarray(5))) - base * 0.1) < 1e-9
+    assert abs(float(fixed(jnp.asarray(50))) - base) < 1e-9
+
+
+def test_exp_warmup_matches_mmcv():
+    """exp warmup: lr * ratio^(1 - t/w) (lr_updater.py:97-99)."""
+    import numpy as np
+    from sm3det_tpu.train.optim import make_lr_schedule
+    sched = make_lr_schedule("fixed", 1.0, warmup="exp",
+                             warmup_iters=20, warmup_ratio=0.1)
+    for it in (0, 7, 19):
+        expect = 0.1 ** (1 - it / 20)
+        assert abs(float(sched(jnp.asarray(it))) - expect) < 1e-7
+    assert abs(float(sched(jnp.asarray(20))) - 1.0) < 1e-7

@@ -259,6 +259,7 @@ def main():
     layer_decay = cfg.optimizer.get("layer_decay")
     if layer_decay is not None and hasattr(layer_decay, "to_dict"):
         layer_decay = layer_decay.to_dict()
+    max_iters = args.max_iters or cfg.get("max_iters", 1000)
     init_fn, update_fn, _ = make_optimizer(
         base_lr=cfg.optimizer.lr,
         weight_decay=cfg.optimizer.get("weight_decay", 0.0),
@@ -270,7 +271,16 @@ def main():
         warmup_ratio=lr_cfg.get("warmup_ratio", 1.0 / 3),
         dla_cfg=dla_cfg,
         accumulate=int(cfg.optimizer.get("accumulate", 1)),
-        layer_decay=layer_decay)
+        layer_decay=layer_decay,
+        # LR-updater zoo: step/cosine/poly/exp/inv/fixed
+        # (mmcv lr_updater.py; 'dynamic' = DLA over step)
+        lr_policy=lr_cfg.get("policy", "step"),
+        warmup=lr_cfg.get("warmup", "linear"),
+        min_lr=lr_cfg.get("min_lr"),
+        min_lr_ratio=lr_cfg.get("min_lr_ratio"),
+        power=lr_cfg.get("power", 1.0),
+        gamma=lr_cfg.get("gamma", 0.1),
+        max_iters=max_iters)
 
     ema_decay = float(cfg.get("ema_decay", 0.0))
     reweight_mode = cfg.model.get("multi_tasks_reweight")
@@ -368,7 +378,6 @@ def main():
             sub: make_eval(sub, val_sets[i], pipes[i])
             for i, sub in enumerate(("sar", "rgb", "ifr"))}
 
-    max_iters = args.max_iters or cfg.get("max_iters", 1000)
     run_training(
         jstep, state, data_iter, max_iters, work_dir,
         device_put=device_put,
