@@ -50,20 +50,25 @@ def preprocess_uint8(raw: Dict, S: int, mean_bgr: Sequence[float]):
     return np.ascontiguousarray(img), scale
 
 
-def make_uint8_test_fn(model, method: str, S: int, mean, std):
+def make_uint8_test_fn(model, method: str, S: int, mean, std,
+                       method_kwargs: Optional[Dict] = None):
     """Jitted (variables, x_u8) -> simple_test outputs with in-graph
     normalization: uint8 -> f32, BGR->RGB via gather (a ``::-1`` reverse
     inside big graphs crashes libtpu's fusion emitter), then
-    (x - mean) / std — mirrors ``T.normalize(to_rgb=True)``."""
+    (x - mean) / std — mirrors ``T.normalize(to_rgb=True)``.
+
+    ``method_kwargs`` routes extra keywords into the test method (e.g.
+    ``aug_test``'s subdataset/scales/flip_directions for TTA)."""
     mean_d = jnp.asarray(mean, jnp.float32)
     inv_std_d = jnp.asarray(1.0 / np.asarray(std, np.float32))
     chan_perm = jnp.asarray([2, 1, 0])
+    kw = dict(method_kwargs or {})
 
     def _fwd(v, x_u8):
         xf = x_u8.astype(jnp.float32)
         xf = jnp.take(xf, chan_perm, axis=-1)
         xf = (xf - mean_d) * inv_std_d
-        return model.apply(v, xf, (S, S), method=method)
+        return model.apply(v, xf, img_shape=(S, S), method=method, **kw)
 
     return jax.jit(_fwd)
 

@@ -61,15 +61,24 @@ class ViTBlock(nn.Module):
         ls2 = self.param("ls2", nn.initializers.constant(0.1), (c,))
 
         y = norm(self.dim, name="norm1")(x)
-        qkv = nn.Dense(3 * self.dim, name="qkv")(y)
+        qkv_dense = nn.Dense(3 * self.dim, name="qkv")
+        qkv = qkv_dense(y)
 
         if self.window > 0:
             ws = self.window
             hp = int(np.ceil(h / ws)) * ws
             wp = int(np.ceil(w / ws)) * ws
             qkv_img = qkv.reshape(b, h, w, 3 * c)
-            qkv_img = jnp.pad(
-                qkv_img, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+            if (hp, wp) != (h, w):
+                # the reference pads the NORMED TOKENS with zeros before
+                # the qkv projection (WindowedAttention, intern_vit.py:
+                # 124-127), so pad rows carry qkv(0) = the qkv bias, and
+                # they DO participate in window attention before the
+                # crop — pad with that value, not with zeros
+                pad_tok = qkv_dense(jnp.zeros((c,), qkv.dtype))
+                qkv_img = jnp.pad(
+                    qkv_img - pad_tok,
+                    ((0, 0), (0, hp - h), (0, wp - w), (0, 0))) + pad_tok
             qkv_w = qkv_img.reshape(b, hp // ws, ws, wp // ws, ws, 3 * c)
             qkv_w = qkv_w.transpose(0, 1, 3, 2, 4, 5).reshape(
                 -1, ws * ws, 3 * c)
@@ -92,10 +101,14 @@ class ViTBlock(nn.Module):
         qkv = qkv.reshape(bn, n, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.qk_norm:
-            q = q / jnp.maximum(
-                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
-            k = k / jnp.maximum(
-                jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
+            # learned RMSNorm over the FLATTENED head dim — the
+            # reference normalizes q/k as (B, N, C) with InternRMSNorm
+            # regardless of norm_layer (intern_vit.py:190-192, :204-207),
+            # NOT a per-head L2
+            q = RMSNorm(self.dim, name="q_norm")(
+                q.reshape(bn, n, -1)).reshape(q.shape)
+            k = RMSNorm(self.dim, name="k_norm")(
+                k.reshape(bn, n, -1)).reshape(k.shape)
         out = jax.nn.dot_product_attention(q, k, v)
         return out.reshape(bn, n, -1)
 
@@ -184,11 +197,11 @@ class InternViTAdapter(nn.Module):
     out_channels: Sequence[int] = (256, 256, 256, 256)
     multi_input: bool = False
 
-    @nn.compact
-    def __call__(self, x, train: bool = False, dataset_ids=None):
-        b, ih, iw, _ = x.shape
+    def _stem_tokens(self, x):
+        """Patch embed + pos embed (``intern_vit.py:336 forward_adapter``:
+        tokens = conv(x).flatten + position_embedding[:, 1:])."""
+        b = x.shape[0]
         ps = self.patch_size
-        # patch embed
         stem_name = "stem_single" if self.multi_input else "patch_embed"
         tokens = nn.Conv(self.embed_dim, (ps, ps), strides=ps,
                          padding="VALID", name=stem_name)(x)
@@ -197,7 +210,29 @@ class InternViTAdapter(nn.Module):
         pos = self.param("pos_embed",
                          nn.initializers.truncated_normal(0.02),
                          (1, h * w, self.embed_dim))
-        tokens = tokens + pos
+        return tokens + pos, h, w
+
+    def _block(self, i, h, w):
+        return ViTBlock(
+            self.embed_dim, self.num_heads, self.mlp_ratio,
+            qk_norm=self.qk_norm, use_rms=self.use_rms,
+            window=self.window_size if i in self.window_blocks else 0,
+            name=f"block{i}")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, dataset_ids=None,
+                 encoder_only: bool = False):
+        """``encoder_only=True`` runs stem + pos + every ViT block and
+        returns the raw tokens (no adapter interactions) — the numeric
+        contract of the reference's ``InternViT.forward_encoder``
+        (``intern_vit.py:577``); used by the checkpoint-ingestion oracle
+        tests and expert-view tooling."""
+        b, ih, iw, _ = x.shape
+        tokens, h, w = self._stem_tokens(x)
+        if encoder_only:
+            for blk_i in range(self.depth):
+                tokens = self._block(blk_i, h, w)(tokens, (h, w))
+            return tokens
 
         # spatial priors
         c1, c2, c3, c4 = SpatialPriorModule(
@@ -226,12 +261,7 @@ class InternViTAdapter(nn.Module):
         inter = list(self.interaction_indexes)
         n_inter = len(inter)
         for blk_i in range(self.depth):
-            tokens = ViTBlock(
-                self.embed_dim, self.num_heads, self.mlp_ratio,
-                qk_norm=self.qk_norm, use_rms=self.use_rms,
-                window=self.window_size
-                if blk_i in self.window_blocks else 0,
-                name=f"block{blk_i}")(tokens, (h, w))
+            tokens = self._block(blk_i, h, w)(tokens, (h, w))
             if idx < n_inter and blk_i == inter[idx]:
                 # injector: spatial <- deform-attn over ViT tokens
                 q_tok = vit_proj(tokens)

@@ -488,39 +488,80 @@ class TriSourceDetector(nn.Module):
         ifr_out = (dets[n_rgb:], labels[n_rgb:], valid[n_rgb:])
         return sar_out, rgb_out, ifr_out
 
-    def aug_test(self, imgs, subdataset: str, img_shape=(800, 800)):
-        """Test-time augmentation (reference ``aug_test`` :409): original
-        + horizontal flip, flipped boxes mapped back, merged by re-scoring
-        through one joint NMS (aug_multiclass_nms_rotated semantics)."""
+    def aug_test(self, imgs, subdataset: str, img_shape=(800, 800),
+                 scales=(1.0,), flip_directions=(None, "horizontal")):
+        """Config-driven test-time augmentation (reference ``aug_test``
+        :409 fed by the test pipeline's MultiScaleFlipAug): every
+        (scale, flip_direction) variant runs simple_test, detections are
+        mapped back to the original frame per the reference's
+        ``bbox_flip`` (``mmrotate/core/bbox/transforms.py:9``: center
+        reflect + angle = pi - a for rotated boxes, any direction) and
+        unscaled, then all variants merge by re-scoring through one
+        joint NMS (``aug_multiclass_nms_rotated`` semantics,
+        ``bbox_nms_rotated.py:113``). ``flip_directions`` entries:
+        None / 'horizontal' / 'vertical' / 'diagonal'."""
         from ...ops.box_convert import norm_angle
         from ...ops.nms import aug_multiclass_nms_rotated
 
         version = self.cfg["angle_version"]
-        d1, l1, v1 = self.simple_test(imgs, subdataset, img_shape)
-        # horizontal flip via gather, NOT ::-1 reverse: the reverse op
-        # inside large jitted graphs crashes libtpu's fusion emitter
-        # (see CLAUDE.md TPU gotchas)
-        wdim = imgs.shape[2]
-        flip_idx = wdim - 1 - jnp.arange(wdim)
-        flipped = jnp.take(imgs, flip_idx, axis=2)
-        d2, l2, v2 = self.simple_test(flipped, subdataset, img_shape)
-        w = img_shape[1]
-        if subdataset == "sar":
-            # xyxy boxes: unflip x
-            x1 = w - d2[..., 2]
-            x2 = w - d2[..., 0]
-            d2 = jnp.stack([x1, d2[..., 1], x2, d2[..., 3],
-                            d2[..., 4]], -1)
-            iou_thr, box_dim = 0.5, 4
-        else:
-            d2 = jnp.stack([
-                w - d2[..., 0], d2[..., 1], d2[..., 2], d2[..., 3],
-                norm_angle(-d2[..., 4], version), d2[..., 5]], -1)
-            iou_thr, box_dim = 0.1, 5
+        H, W = img_shape
 
-        def merge(da, db, la, lb, va, vb):
+        def flip_img(x, direction):
+            # flips via gather, NOT ::-1 reverse: the reverse op inside
+            # large jitted graphs crashes libtpu's fusion emitter
+            # (see CLAUDE.md TPU gotchas)
+            if direction in ("horizontal", "diagonal"):
+                w = x.shape[2]
+                x = jnp.take(x, w - 1 - jnp.arange(w), axis=2)
+            if direction in ("vertical", "diagonal"):
+                h = x.shape[1]
+                x = jnp.take(x, h - 1 - jnp.arange(h), axis=1)
+            return x
+
+        def map_back(d, direction, shape_s, s):
+            h, w = shape_s
+            if subdataset == "sar":
+                # xyxy: mmdet bbox_flip convention (x1' = W - x2)
+                x1, y1, x2, y2, sc = (d[..., i] for i in range(5))
+                if direction in ("horizontal", "diagonal"):
+                    x1, x2 = w - x2, w - x1
+                if direction in ("vertical", "diagonal"):
+                    y1, y2 = h - y2, h - y1
+                return jnp.stack([x1 / s, y1 / s, x2 / s, y2 / s, sc], -1)
+            cx, cy, bw, bh, a, sc = (d[..., i] for i in range(6))
+            if direction is not None:
+                # rotated bbox_flip (transforms.py:25-38): reflect the
+                # center (pixel-center convention, hence the -1) and
+                # angle -> pi - a for every direction
+                if direction in ("horizontal", "diagonal"):
+                    cx = w - cx - 1
+                if direction in ("vertical", "diagonal"):
+                    cy = h - cy - 1
+                a = norm_angle(jnp.pi - a, version)
+            return jnp.stack([cx / s, cy / s, bw / s, bh / s, a, sc], -1)
+
+        all_d, all_l, all_v = [], [], []
+        for s in scales:
+            if s == 1.0:
+                im_s, shape_s = imgs, (H, W)
+            else:
+                shape_s = (int(round(H * s)), int(round(W * s)))
+                im_s = jax.image.resize(
+                    imgs, (imgs.shape[0],) + shape_s + (imgs.shape[3],),
+                    method="bilinear")
+            for direction in flip_directions:
+                d, lab, val = self.simple_test(
+                    flip_img(im_s, direction), subdataset, shape_s)
+                all_d.append(map_back(d, direction, shape_s, s))
+                all_l.append(lab)
+                all_v.append(val)
+
+        iou_thr = 0.5 if subdataset == "sar" else 0.1
+        box_dim = 4 if subdataset == "sar" else 5
+
+        def merge(ds, ls, vs):
             return aug_multiclass_nms_rotated(
-                (da, db), (la, lb), (va, vb), iou_thr,
-                max_out=da.shape[0], box_dim=box_dim)
+                ds, ls, vs, iou_thr, max_out=ds[0].shape[0],
+                box_dim=box_dim)
 
-        return jax.vmap(merge)(d1, d2, l1, l2, v1, v2)
+        return jax.vmap(merge)(tuple(all_d), tuple(all_l), tuple(all_v))

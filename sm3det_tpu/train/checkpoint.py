@@ -255,17 +255,35 @@ def internvit_torch_to_jax(sd: Dict[str, np.ndarray], params: Dict,
 
     pe = get("embeddings.position_embedding")
     if pe is not None and "pos_embed" in bb:
-        # drop cls token if present, bilinear-resize to target grid
+        # drop cls token if present, resize to the target grid — BICUBIC
+        # like the reference (checkpoint_beit.py:471-474 and
+        # intern_vit.py _get_pos_embed use F.interpolate bicubic,
+        # align_corners=False); numpy-bilinear fallback without torch
         tgt = bb["pos_embed"].shape[1]
-        src = pe[0]
+        src = np.asarray(pe[0])
         if src.shape[0] == tgt + 1:
             src = src[1:]
+        elif src.shape[0] != tgt:
+            # HF format keeps the cls token at row 0 (the reference
+            # interpolates position_embedding[:, 1:], intern_vit.py:353)
+            side = int(np.sqrt(src.shape[0] - 1))
+            if side * side == src.shape[0] - 1:
+                src = src[1:]
         if src.shape[0] != tgt:
             side_s = int(np.sqrt(src.shape[0]))
             side_t = int(np.sqrt(tgt))
             grid = src.reshape(side_s, side_s, -1)
-            from ..data.transforms import _resize_bilinear
-            grid = _resize_bilinear(grid, side_t, side_t)
+            try:
+                import torch
+                import torch.nn.functional as F
+                t = torch.from_numpy(
+                    np.ascontiguousarray(grid)).permute(2, 0, 1)[None]
+                t = F.interpolate(t.float(), size=(side_t, side_t),
+                                  mode="bicubic", align_corners=False)
+                grid = t[0].permute(1, 2, 0).numpy().astype(src.dtype)
+            except ImportError:
+                from ..data.transforms import _resize_bilinear
+                grid = _resize_bilinear(grid, side_t, side_t)
             src = grid.reshape(side_t * side_t, -1)
         bb["pos_embed"] = src[None]
 
@@ -280,6 +298,12 @@ def internvit_torch_to_jax(sd: Dict[str, np.ndarray], params: Dict,
             blk["qkv"]["bias"] = get(tp + "attn.qkv.bias")
         blk["proj"]["kernel"] = get(tp + "attn.proj.weight").T
         blk["proj"]["bias"] = get(tp + "attn.proj.bias")
+        # QK-normalization weights (InternRMSNorm over the flattened
+        # head dim, intern_vit.py:190-192)
+        for qk in ("q_norm", "k_norm"):
+            wq = get(tp + f"attn.{qk}.weight")
+            if wq is not None and qk in blk:
+                blk[qk]["weight"] = wq
         blk["fc1"]["kernel"] = get(tp + "mlp.fc1.weight").T
         blk["fc1"]["bias"] = get(tp + "mlp.fc1.bias")
         blk["fc2"]["kernel"] = get(tp + "mlp.fc2.weight").T

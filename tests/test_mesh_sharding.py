@@ -135,3 +135,64 @@ def test_replicated_helper(mesh):
     out = jax.device_put(tree, sh)
     for leaf in jax.tree.leaves(out):
         assert len({s.device for s in leaf.addressable_shards}) == 8
+
+
+@pytest.mark.slow
+def test_ep2_step_equals_single_device_at_256px_tiny():
+    """EP numeric equality at flagship-ish token counts (VERDICT r3
+    item 7): ConvNeXt-TINY at 256px (16x16 = 256 stage-2 tokens/img,
+    the flagship's MoE stage layout) — an EP=2 sharded train step must
+    reproduce the unsharded step's loss AND updated params. Stronger
+    than the 64px-atto dryrun: the expert einsum actually spans devices
+    at real token counts, with noisy cosine gating under a fixed rng."""
+    import optax
+
+    from sm3det_tpu.models.backbones.convnext import ConvNeXtMoE
+
+    model = ConvNeXtMoE(arch="tiny",
+                        moe_block_inds=((), (), (0, 2, 4), (0,)),
+                        num_experts=4, top_k=2, gate="cosine",
+                        noisy_gating=True, capacity_factor=1.5)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 256, 256, 3).astype(np.float32))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "moe_noise": jax.random.PRNGKey(1)},
+                        jnp.zeros((1, 64, 64, 3)), train=True)["params"]
+    opt = optax.adamw(1e-3)
+
+    def loss_fn(p, xb):
+        outs, gate_loss = model.apply(
+            {"params": p}, xb, train=True,
+            rngs={"moe_noise": jax.random.PRNGKey(7)})
+        main = sum(jnp.mean(o.astype(jnp.float32) ** 2) for o in outs)
+        return main + 0.01 * gate_loss
+
+    def train_step(p, xb):
+        loss, g = jax.value_and_grad(loss_fn)(p, xb)
+        updates, _ = opt.update(g, opt.init(p), p)
+        return loss, optax.apply_updates(p, updates)
+
+    ref_loss, ref_params = jax.jit(train_step)(params, x)
+    ref_loss = float(ref_loss)
+
+    mesh = make_mesh(2, expert_parallel=2)
+    p_sh = jax.device_put(params, param_sharding(mesh, params))
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    # expert-sharded leaves must actually split over the 2 devices
+    ex = [v for path, v in
+          jax.tree_util.tree_flatten_with_path(p_sh)[0]
+          if any("experts" in str(getattr(p, "key", "")) for p in path)
+          and v.ndim >= 2]
+    assert ex and all(len(l.addressable_shards) == 2 for l in ex)
+
+    sh_loss, sh_params = jax.jit(train_step)(p_sh, x_sh)
+    sh_loss = float(sh_loss)
+    np.testing.assert_allclose(sh_loss, ref_loss, rtol=1e-4)
+
+    ref_leaves = jax.tree.leaves(jax.device_get(ref_params))
+    sh_leaves = jax.tree.leaves(jax.device_get(sh_params))
+    diffs = [np.abs(a - b) for a, b in zip(ref_leaves, sh_leaves)]
+    worst = max(float(d.max()) for d in diffs)
+    mean = float(np.mean(np.concatenate([d.ravel() for d in diffs])))
+    assert worst < 2e-3, worst     # Adam sign-flip bound, see DP test
+    assert mean < 1e-5, mean

@@ -198,3 +198,63 @@ def test_bf16_train_step(model_and_state):
                 for a, b in zip(jax.tree_util.tree_leaves(st.params),
                                 leaves))
     assert delta > 0
+
+
+def test_config_driven_tta_equals_manual_merge(model_and_state):
+    """Config-driven aug_test (multi-scale + 3-direction flips) must
+    equal a manual per-aug simple_test + map-back + joint-NMS merge
+    (reference MultiScaleFlipAug -> aug_test,
+    trisource_H1stage_R2stage_detector.py:409 + bbox_flip
+    transforms.py:9)."""
+    import jax
+    from sm3det_tpu.ops.box_convert import norm_angle
+    from sm3det_tpu.ops.nms import aug_multiclass_nms_rotated
+    model, state, step, batch = model_and_state
+    v = {"params": state.params}
+    imgs = batch["rgb"]["img"]
+    scales = (1.0, 0.5)
+    flips = (None, "horizontal", "vertical", "diagonal")
+
+    d_auto, l_auto, v_auto = jax.jit(lambda v, x: model.apply(
+        v, x, method="aug_test", subdataset="rgb", img_shape=(IMG, IMG),
+        scales=scales, flip_directions=flips))(v, imgs)
+
+    # manual per-aug merge
+    all_d, all_l, all_v = [], [], []
+    for s in scales:
+        hs = ws = int(round(IMG * s))
+        im_s = imgs if s == 1.0 else jax.image.resize(
+            imgs, (imgs.shape[0], hs, ws, imgs.shape[3]), "bilinear")
+        for direction in flips:
+            im = np.asarray(im_s)
+            if direction in ("horizontal", "diagonal"):
+                im = im[:, :, ::-1]
+            if direction in ("vertical", "diagonal"):
+                im = im[:, ::-1]
+            d, lab, val = jax.jit(lambda v, x: model.apply(
+                v, x, "rgb", (hs, ws), method="simple_test"))(
+                v, jnp.asarray(np.ascontiguousarray(im)))
+            d = np.asarray(d).copy()
+            if direction in ("horizontal", "diagonal"):
+                d[..., 0] = ws - d[..., 0] - 1
+            if direction in ("vertical", "diagonal"):
+                d[..., 1] = hs - d[..., 1] - 1
+            if direction is not None:
+                d[..., 4] = np.asarray(
+                    norm_angle(jnp.asarray(np.pi - d[..., 4]), "le90"))
+            d[..., :4] /= s
+            all_d.append(jnp.asarray(d))
+            all_l.append(lab)
+            all_v.append(val)
+    d_man, l_man, v_man = jax.vmap(
+        lambda ds, ls, vs: aug_multiclass_nms_rotated(
+            ds, ls, vs, 0.1, max_out=ds[0].shape[0], box_dim=5)
+    )(tuple(all_d), tuple(all_l), tuple(all_v))
+
+    va, vm = np.asarray(v_auto), np.asarray(v_man)
+    np.testing.assert_array_equal(va, vm)
+    np.testing.assert_allclose(np.asarray(d_auto)[va],
+                               np.asarray(d_man)[vm], rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(l_auto)[va],
+                                  np.asarray(l_man)[vm])

@@ -66,6 +66,18 @@ def main():
         print(f"aug_test[{sub}]: kept={n} finite={finite} "
               f"dets_shape={np.asarray(dets).shape}", flush=True)
         assert finite
+
+    # config-driven TTA: multi-scale + all three flip directions in one
+    # jitted graph (vertical/diagonal use the same gather formulation)
+    fn = jax.jit(lambda vv, xx: model.apply(
+        vv, xx, method="aug_test", subdataset="rgb",
+        img_shape=(IMG, IMG), scales=(1.0, 0.5),
+        flip_directions=(None, "horizontal", "vertical", "diagonal")))
+    dets, labels, valid = jax.device_get(fn(v, x1))
+    finite = bool(np.isfinite(np.asarray(dets, np.float32)).all())
+    print(f"aug_test[tta 2-scale x 4-dir]: kept="
+          f"{int(np.asarray(valid).sum())} finite={finite}", flush=True)
+    assert finite
     print("aug_test TPU smoke OK", flush=True)
 
 

@@ -44,6 +44,10 @@ def parse_args():
                    help="inference compute policy (bf16 matches bench.py; "
                         "convergence-parity evidence in docs/PERF.md)")
     p.add_argument("--out", help="dump raw results + eval json here")
+    p.add_argument("--tta", action="store_true",
+                   help="test-time augmentation driven by cfg.tta "
+                        "(scales + flip_directions; reference "
+                        "MultiScaleFlipAug -> aug_test)")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
 
@@ -136,8 +140,21 @@ def main():
 
     method = {"sar": "simple_test_sar", "rgb": "simple_test_rgb",
               "ifr": "simple_test_ifr"}[sub]
+    method_kwargs = None
+    if args.tta:
+        # cfg.tta mirrors MultiScaleFlipAug: scales (relative factors)
+        # x [identity + each flip direction]
+        tta = cfg.get("tta")
+        scales = tuple(tta.get("scales", (1.0,))) if tta else (1.0,)
+        flips = tuple(tta.get("flip_directions", ("horizontal",))) \
+            if tta else ("horizontal",)
+        method = "aug_test"
+        method_kwargs = dict(subdataset=sub, scales=scales,
+                             flip_directions=(None,) + flips)
+        print(f"TTA: {method_kwargs}")
     bs = max(args.batch_size, 1)
-    test_fn = make_uint8_test_fn(model, method, S, pipe.mean, pipe.std)
+    test_fn = make_uint8_test_fn(model, method, S, pipe.mean, pipe.std,
+                                 method_kwargs=method_kwargs)
 
     n_total = len(ds) if args.num_images is None \
         else min(args.num_images, len(ds))
