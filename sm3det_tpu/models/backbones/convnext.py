@@ -181,17 +181,22 @@ class ConvNeXtBlock(nn.Module):
         # bf16-only: the fused kernel's MXU partitioning differs from
         # XLA's at f32 (both are bf16-pass decompositions, ~1e-3 apart);
         # the f32 path keeps the XLA formulation as the exact oracle
-        fused = ((not train) and jax.default_backend() == "tpu"
+        fused = (jax.default_backend() == "tpu"
                  and x.dtype == jnp.bfloat16 and not self.use_grn)
 
-        if (fused and self.moe is None and not self.use_da
+        if (fused and not train and self.moe is None and not self.use_da
                 and gamma is not None
                 and fused_block_supported(h, w, c, hidden)):
             # whole dense block in one Pallas pass (inference)
             return fused_convnext_block(
                 x, dwk, dwb, lns, lnb, w1, b1, w2, b2, gamma), aux
 
-        if fused and fused_block_supported(h, w, c):
+        if fused and not train and fused_block_supported(h, w, c):
+            # inference-only: a trainable custom-VJP wrapper exists
+            # (fused_dwconv_ln_train) but measured NET SLOWER in the
+            # train step (126.7 vs 119.2 ms/step device time — the f32
+            # in-kernel MACs buy nothing at batch 4 and the recompute
+            # backward runs its convs at f32; docs/PERF.md round 4)
             x = fused_dwconv_ln(x, dwk, dwb, lns, lnb)
         else:
             x = _dwconv7(x, dwk, dwb)

@@ -19,6 +19,7 @@ CV² aux loss) matches ``convnext_moe.py:140-224`` exactly.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -27,6 +28,82 @@ import numpy as np
 from flax import linen as nn
 
 from .layers import GRN, gelu as _policy_gelu
+
+
+@jax.custom_vjp
+def _inv_gather(x, idx, inv_idx, inv_w):
+    """``x[idx]`` whose backward is ALSO a gather.
+
+    XLA differentiates a gather into a scatter-add, which the TPU
+    row-serializes (the same pathology the forward dispatch avoided,
+    see the dispatch comment below — 7.4 ms/layer at bench sizes). The
+    MoE routing has a cheap exact inverse, so the caller provides it:
+    ``inv_idx[j, r]`` lists (padded) the output rows that read input
+    row ``j`` and ``inv_w[j, r]`` masks the padding. The cotangent is
+    then ``g_x[j] = sum_r g[inv_idx[j, r]] * inv_w[j, r]`` — one gather
+    plus a tiny-axis reduce, no scatter anywhere in the train step.
+
+    x: (N, d); idx: (M,) int; inv_idx/inv_w: (N, R). Returns (M, d).
+    """
+    return x[idx]
+
+
+def _inv_gather_fwd(x, idx, inv_idx, inv_w):
+    return x[idx], (idx, inv_idx, inv_w)
+
+
+def _inv_gather_bwd(res, g):
+    idx, inv_idx, inv_w = res
+    n, r = inv_idx.shape
+    gx = (g[inv_idx.reshape(-1)].reshape(n, r, g.shape[-1])
+          * inv_w[..., None].astype(g.dtype)).sum(axis=1)
+    return (gx,
+            np.zeros(idx.shape, jax.dtypes.float0),
+            np.zeros(inv_idx.shape, jax.dtypes.float0),
+            jnp.zeros_like(inv_w))
+
+
+_inv_gather.defvjp(_inv_gather_fwd, _inv_gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _bf16_dot(spec, dspec, wspec, x, w):
+    """Batched einsum with f32 accumulation whose backward matmuls stay
+    at the compute dtype.
+
+    The forward outputs f32 (``preferred_element_type``), so XLA's
+    transpose rule sees an f32 cotangent and runs BOTH backward dots as
+    f32 matmuls. Here the cotangent is cast once to the operand dtype
+    and both dgrad (``dspec``) and wgrad (``wspec``) run as bf16 MXU
+    dots with f32 accumulation, rounding the results to the operand
+    dtypes — the same contract as every other activation/param tensor
+    on the bf16 policy path. Honest measurement (docs/PERF.md round 4):
+    at the flagship bench shapes (E=4, cap≈1.2k, d=384) the step-time
+    effect is ZERO — the expert dots are small enough to be
+    layout/latency-bound, not dtype-bound (wgrad micro-bench: every
+    formulation ≤0.35 ms/layer). Kept because it pins the
+    backward dtype contract explicitly (no silent f32 promotion when
+    expert counts/dims grow) and is grad-parity-tested
+    (tests/test_models.py::test_bf16_dot_grads_match_einsum).
+    """
+    return jnp.einsum(spec, x, w, preferred_element_type=jnp.float32)
+
+
+def _bf16_dot_fwd(spec, dspec, wspec, x, w):
+    return _bf16_dot(spec, dspec, wspec, x, w), (x, w)
+
+
+def _bf16_dot_bwd(spec, dspec, wspec, res, g):
+    x, w = res
+    gb = g.astype(x.dtype)
+    gx = jnp.einsum(dspec, gb, w,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    gw = jnp.einsum(wspec, x, gb,
+                    preferred_element_type=jnp.float32).astype(w.dtype)
+    return gx, gw
+
+
+_bf16_dot.defvjp(_bf16_dot_fwd, _bf16_dot_bwd)
 
 
 def cv_squared(x, eps: float = 1e-10):
@@ -109,8 +186,8 @@ class ExpertFFN(nn.Module):
             1.0, "fan_in", "truncated_normal"), (e, h, d))
         b2 = self.param("b2", nn.initializers.zeros, (e, d))
         del scale1
-        y = jnp.einsum("ecd,edh->ech", x, w1,
-                       preferred_element_type=jnp.float32) + b1[:, None]
+        y = _bf16_dot("ecd,edh->ech", "ech,edh->ecd", "ecd,ech->edh",
+                      x, w1) + b1[:, None]
         # f32 matmul accumulation; activation at the compute dtype
         y = _policy_gelu(y.astype(x.dtype))
         if self.use_grn:
@@ -119,8 +196,8 @@ class ExpertFFN(nn.Module):
             # upstream. Kept for config parity.
             y = GRN(self.hidden, name="grn")(y.reshape(e, -1, 1, h)) \
                 .reshape(e, -1, h)
-        y = jnp.einsum("ech,ehd->ecd", y, w2,
-                       preferred_element_type=jnp.float32) + b2[:, None]
+        y = _bf16_dot("ech,ehd->ecd", "ecd,ehd->ech", "ech,ecd->ehd",
+                      y, w2) + b2[:, None]
         # back to the compute dtype HERE: f32 accumulation happened in
         # the einsum; leaving the (E, cap, d) buffer f32 doubles the
         # HBM traffic of the gather+combine that follows (and silently
@@ -143,8 +220,8 @@ class ExpertLinear(nn.Module):
         w = self.param("w", nn.initializers.variance_scaling(
             1.0, "fan_in", "truncated_normal"), (e, d, o))
         b = self.param("b", nn.initializers.zeros, (e, o))
-        y = jnp.einsum("ecd,edo->eco", x, w,
-                       preferred_element_type=jnp.float32) + b[:, None]
+        y = _bf16_dot("ecd,edo->eco", "eco,edo->ecd", "ecd,eco->edo",
+                      x, w) + b[:, None]
         return y.astype(x.dtype)   # f32 accumulated; combine at x.dtype
 
 
@@ -203,10 +280,13 @@ class MoELayer(nn.Module):
         self.sow("intermediates", "expert_ids", top_k_idx)
 
         if train:
-            # dense gates matrix only for the aux loss (N x E scatter)
-            gates = jnp.zeros((n, e), logits.dtype)
-            gates = gates.at[jnp.arange(n)[:, None],
-                             top_k_idx].set(top_k_gates)
+            # dense gates matrix for the aux loss, composed scatter-free
+            # as a one-hot multiply-reduce (an .at[].set scatter would
+            # row-serialize on TPU, and its backward is another gather)
+            gates = jnp.einsum(
+                "nke,nk->ne",
+                jax.nn.one_hot(top_k_idx, e, dtype=logits.dtype),
+                top_k_gates)
             importance = gates.sum(0)
             if self.noisy_gating and k < e:
                 load = prob_in_top_k(
@@ -264,7 +344,15 @@ class MoELayer(nn.Module):
         rank_grid = starts[:, None] + jnp.arange(capacity)[None, :]
         valid = jnp.arange(capacity)[None, :] < counts[:, None]
         flat_idx = order[jnp.clip(rank_grid, 0, m - 1)]       # (E, cap)
-        buf = x[flat_idx // k] * valid[..., None].astype(x.dtype)
+        # dispatch gather. Its exact inverse (for the scatter-free
+        # backward, see _inv_gather): token t is read at buf position
+        # slot[t*k + c] for each KEPT choice c (a kept route i fills
+        # position starts[e_i] + position_i == slot[i]; invalid buf
+        # rows are masked by `valid` so their cotangent is already 0).
+        keep_w = keep.astype(jnp.float32).reshape(n, k)
+        buf = _inv_gather(x, (flat_idx // k).reshape(-1),
+                          slot.reshape(n, k), keep_w)
+        buf = buf.reshape(e, capacity, d) * valid[..., None].astype(x.dtype)
 
         if self.expert_kind == "linear":
             out_d = self.out_dim or d
@@ -275,7 +363,13 @@ class MoELayer(nn.Module):
                                 name="experts")(buf)
         out_buf = out_buf.reshape(e * capacity, out_d)
 
-        gathered = out_buf[slot]                                  # (N*k, o)
+        # combine gather; inverse: buf position (e, pos) is read (with a
+        # nonzero cotangent — dropped routes' reads are zeroed by the
+        # keep factor in `weighted` below) only by its owner route
+        # flat_idx[e, pos], valid positions only
+        gathered = _inv_gather(
+            out_buf, slot, flat_idx.reshape(-1, 1),
+            valid.reshape(-1, 1).astype(jnp.float32))             # (N*k, o)
         # combine in the compute dtype: an f32 gate vector would promote
         # the whole (N*k, o) combine to f32 (2x memory traffic on the
         # bf16 policy path)

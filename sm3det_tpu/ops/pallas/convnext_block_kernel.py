@@ -325,6 +325,52 @@ def fused_dwconv_ln(x, dwk, dwb, lns, lnb, eps: float = 1e-6,
     return _fused_block_impl(x, dwk, dwb, lns, lnb, None, eps, interpret)
 
 
+def _dwconv_ln_math(x, dwk, dwb, lns, lnb, eps, out_dtype):
+    """f32-accumulated jnp formulation of ``fused_dwconv_ln``'s math
+    (dw7x7 with f32 accumulation, LN with f32 stats) — the reference the
+    custom VJP below differentiates."""
+    acc = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), dwk.astype(jnp.float32), (1, 1),
+        ((3, 3), (3, 3)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1]) + dwb.astype(jnp.float32)
+    mean = jnp.mean(acc, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(acc * acc, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (acc - mean) * jax.lax.rsqrt(var + eps)
+    y = y * lns.astype(jnp.float32) + lnb.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_dwconv_ln_train(x, dwk, dwb, lns, lnb, eps: float = 1e-6,
+                          interpret: bool = False):
+    """Trainable ``fused_dwconv_ln``: Pallas forward, hand-rolled VJP.
+
+    The backward recomputes the dw7x7 (cheap, VPU-bound — the LN-stats
+    residuals fall out of it for free) and differentiates the f32 jnp
+    formulation, so no big LN/conv intermediates are saved and no
+    Pallas backward kernel is needed. Grad-parity vs the unfused path
+    is asserted in tests/test_pallas_kernels.py."""
+    return fused_dwconv_ln(x, dwk, dwb, lns, lnb, eps, interpret)
+
+
+def _fdl_fwd(x, dwk, dwb, lns, lnb, eps, interpret):
+    out = fused_dwconv_ln(x, dwk, dwb, lns, lnb, eps, interpret)
+    return out, (x, dwk, dwb, lns, lnb)
+
+
+def _fdl_bwd(eps, interpret, res, g):
+    x, dwk, dwb, lns, lnb = res
+    out_dtype = jnp.result_type(x.dtype, lns.dtype, lnb.dtype)
+    _, vjp = jax.vjp(
+        lambda *a: _dwconv_ln_math(*a, eps, out_dtype),
+        x, dwk, dwb, lns, lnb)
+    return vjp(g.astype(out_dtype))
+
+
+fused_dwconv_ln_train.defvjp(_fdl_fwd, _fdl_bwd)
+
+
 def fused_block_supported(h: int, w: int, c: int,
                           hidden: int = 0) -> bool:
     """Static gate: some row-band fits the VMEM plan AND gives the grid

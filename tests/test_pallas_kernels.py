@@ -230,6 +230,44 @@ def test_fused_convnext_block_matches_flax():
     assert rel < 1e-5, rel
 
 
+def test_fused_dwconv_ln_train_grad_parity():
+    """The trainable wrapper's custom VJP must match jax.grad of the
+    unfused formulation (value AND all five parameter grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sm3det_tpu.ops.pallas.convnext_block_kernel import (
+        _dwconv_ln_math, fused_dwconv_ln_train)
+
+    rng = np.random.RandomState(7)
+    dim = 96
+    x = jnp.asarray(rng.randn(2, 16, 16, dim).astype(np.float32))
+    dwk = jnp.asarray(rng.randn(7, 7, 1, dim).astype(np.float32) * 0.05)
+    dwb = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.05)
+    lns = jnp.asarray(1.0 + rng.randn(dim).astype(np.float32) * 0.05)
+    lnb = jnp.asarray(rng.randn(dim).astype(np.float32) * 0.05)
+    g = jnp.asarray(rng.randn(2, 16, 16, dim).astype(np.float32))
+
+    def loss_fused(*a):
+        return jnp.sum(fused_dwconv_ln_train(*a, 1e-6, True) * g)
+
+    def loss_ref(*a):
+        return jnp.sum(_dwconv_ln_math(*a, 1e-6, jnp.float32) * g)
+
+    val_f = float(loss_fused(x, dwk, dwb, lns, lnb))
+    val_r = float(loss_ref(x, dwk, dwb, lns, lnb))
+    assert abs(val_f - val_r) / (abs(val_r) + 1e-9) < 1e-5
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+        x, dwk, dwb, lns, lnb)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        x, dwk, dwb, lns, lnb)
+    for a, b in zip(gf, gr):
+        scale = np.abs(np.asarray(b)).max() + 1e-9
+        rel = np.abs(np.asarray(a) - np.asarray(b)).max() / scale
+        assert rel < 1e-5, rel
+
+
 def test_restructured_block_matches_flax_modules():
     """ConvNeXtBlock's param-container refactor (explicit lax ops) must
     be numerically identical to the flax-module formulation, and its
