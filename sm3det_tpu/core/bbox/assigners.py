@@ -105,11 +105,17 @@ def atss_assign(ious, priors_cxcy, gt_hbboxes, gt_mask,
             level_mask.T)
         start += n
 
-    # adaptive threshold: mean + std of candidate IoUs per gt
-    cand_ious = jnp.where(is_candidate, ious, jnp.nan)
-    mean_iou = jnp.nanmean(cand_ious, axis=0)                      # (G,)
-    std_iou = jnp.sqrt(jnp.nanmean(
-        (cand_ious - mean_iou[None, :]) ** 2, axis=0))
+    # adaptive threshold: mean + std of candidate IoUs per gt.
+    # torch ``Tensor.std`` (atss_obb_assigner.py:120) is UNBIASED
+    # (n-1 denominator) — matching it matters: the biased variant sets a
+    # ~1% lower threshold and flips borderline assignments.
+    count = jnp.sum(is_candidate, axis=0).astype(ious.dtype)       # (G,)
+    cand_sum = jnp.sum(jnp.where(is_candidate, ious, 0.0), axis=0)
+    mean_iou = cand_sum / jnp.maximum(count, 1.0)                  # (G,)
+    sq_dev = jnp.where(is_candidate,
+                       (ious - mean_iou[None, :]) ** 2, 0.0)
+    std_iou = jnp.sqrt(jnp.sum(sq_dev, axis=0) /
+                       jnp.maximum(count - 1.0, 1.0))
     iou_thr = mean_iou + std_iou
 
     is_pos = is_candidate & (ious >= iou_thr[None, :])
@@ -165,10 +171,14 @@ def atss_kld_assign(ious, prior_obbs, gt_obbs, gt_mask,
         is_candidate = is_candidate.at[start:start + n].set(level_mask.T)
         start += n
 
-    cand_ious = jnp.where(is_candidate, ious, jnp.nan)
-    mean_iou = jnp.nanmean(cand_ious, axis=0)
-    std_iou = jnp.sqrt(jnp.nanmean(
-        (cand_ious - mean_iou[None, :]) ** 2, axis=0))
+    # unbiased std — torch ``Tensor.std`` (atss_kld_assigner.py:135)
+    count = jnp.sum(is_candidate, axis=0).astype(ious.dtype)
+    cand_sum = jnp.sum(jnp.where(is_candidate, ious, 0.0), axis=0)
+    mean_iou = cand_sum / jnp.maximum(count, 1.0)
+    sq_dev = jnp.where(is_candidate,
+                       (ious - mean_iou[None, :]) ** 2, 0.0)
+    std_iou = jnp.sqrt(jnp.sum(sq_dev, axis=0) /
+                       jnp.maximum(count - 1.0, 1.0))
     is_pos = is_candidate & (ious >= (mean_iou + std_iou)[None, :]) & \
         gt_mask[None, :]
     pos_ious = jnp.where(is_pos, ious, -jnp.inf)

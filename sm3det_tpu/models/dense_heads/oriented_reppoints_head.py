@@ -125,8 +125,11 @@ def reppoints_loss(cls_scores, init_offsets, refine_offsets,
         d2 = jnp.where(inside, d2, jnp.inf)
         init_gt = jnp.argmin(d2, axis=1)
         init_pos = jnp.isfinite(jnp.min(d2, axis=1))
+        # linear mode: the bounded analog of the reference's
+        # ConvexGIoULoss (oriented_reppoints config :47-48); the
+        # function default is 'log' per rotated_iou_loss.py:82
         l_init = rotated_iou_loss(
-            init_obbs, gts[init_gt],
+            init_obbs, gts[init_gt], mode="linear",
             weight=init_pos.astype(jnp.float32), avg_factor=1.0)
 
         # refine assignment: MaxIoU between init boxes and gts
@@ -143,7 +146,7 @@ def reppoints_loss(cls_scores, init_offsets, refine_offsets,
             cls_s, cls_t, weight=jnp.ones(cls_s.shape[0]),
             avg_factor=1.0)
         l_refine = rotated_iou_loss(
-            refine_obbs, gts[gt_idx],
+            refine_obbs, gts[gt_idx], mode="linear",
             weight=pos.astype(jnp.float32), avg_factor=1.0)
         return l_cls, l_init, l_refine, jnp.sum(pos), \
             jnp.sum(init_pos)

@@ -86,6 +86,9 @@ class RotatedFCOSHead(nn.Module):
         ctr_out = nn.Conv(1, (3, 3), padding=1, name="fcos_centerness")
         scales = [Scale(1.0, name=f"scale{i}")
                   for i in range(len(self.strides))]
+        # reference DOTA config (rotated_fcos_r50_fpn_1x_dota_le90.py:36-41):
+        # centerness_on_reg=True, scale_angle=True (one shared Scale)
+        scale_angle = Scale(1.0, name="scale_angle")
         cls_scores, bbox_preds, angle_preds, centernesses = [], [], [], []
         for lvl, x in enumerate(feats):
             cf, rf = x, x
@@ -96,8 +99,8 @@ class RotatedFCOSHead(nn.Module):
             cls_scores.append(cls_out(cf))
             bbox_preds.append(
                 nn.relu(scales[lvl](reg_out(rf))) * self.strides[lvl])
-            angle_preds.append(angle_out(rf))
-            centernesses.append(ctr_out(cf))
+            angle_preds.append(scale_angle(angle_out(rf)))
+            centernesses.append(ctr_out(rf))
         return cls_scores, bbox_preds, angle_preds, centernesses
 
 
@@ -171,9 +174,6 @@ def fcos_loss(cls_scores, bbox_preds, angle_preds, centernesses,
         dist_t = coder.encode(points, tgt)           # (P, 5)
         pred5 = jnp.concatenate([reg_s, ang_s], -1)
         pred_obb = coder.decode(points, pred5)
-        l_box = rotated_iou_loss(
-            pred_obb, tgt, weight=pos.astype(jnp.float32),
-            avg_factor=1.0)
         # centerness target
         lr_min = jnp.minimum(dist_t[:, 0], dist_t[:, 2])
         lr_max = jnp.maximum(dist_t[:, 0], dist_t[:, 2])
@@ -182,16 +182,23 @@ def fcos_loss(cls_scores, bbox_preds, angle_preds, centernesses,
         ctr_t = jnp.sqrt(jnp.clip(
             (lr_min / jnp.maximum(lr_max, 1e-6)) *
             (tb_min / jnp.maximum(tb_max, 1e-6)), 0, 1))
+        # reference weights the IoU loss by the centerness target and
+        # normalizes by the centerness sum (rotated_fcos_head.py:275-295
+        # ``centerness_denorm``), NOT by num_pos
+        ctr_w = jnp.where(pos, ctr_t, 0.0)
+        l_box = rotated_iou_loss(pred_obb, tgt, weight=ctr_w,
+                                 avg_factor=1.0)
         l_ctr = sigmoid_cross_entropy(
             ctr_s, ctr_t, weight=pos.astype(jnp.float32), avg_factor=1.0)
-        return l_cls, l_box, l_ctr, jnp.sum(pos)
+        return l_cls, l_box, l_ctr, jnp.sum(pos), jnp.sum(ctr_w)
 
-    l_cls, l_box, l_ctr, n_pos = jax.vmap(single)(
+    l_cls, l_box, l_ctr, n_pos, ctr_sum = jax.vmap(single)(
         flat_cls, flat_reg, flat_ang, flat_ctr, gt_obbs, gt_labels,
         gt_mask)
     total = jnp.maximum(jnp.sum(n_pos).astype(jnp.float32), 1.0)
+    denorm = jnp.maximum(jax.lax.stop_gradient(jnp.sum(ctr_sum)), 1e-6)
     return {"loss_cls": jnp.sum(l_cls) / total,
-            "loss_bbox": jnp.sum(l_box) / total,
+            "loss_bbox": jnp.sum(l_box) / denorm,
             "loss_centerness": jnp.sum(l_ctr) / total}
 
 
@@ -240,8 +247,10 @@ class CSLRotatedFCOSHead(RotatedFCOSHead):
             cls_scores.append(cls_out(cf))
             bbox_preds.append(
                 nn.relu(scales[lvl](reg_out(rf))) * self.strides[lvl])
+            # CSL config: scale_angle=False, centerness_on_reg=True
+            # (rotated_fcos_csl_gaussian_r50_fpn_1x_dota_le90.py:11-13)
             angle_clses.append(angle_out(rf))
-            centernesses.append(ctr_out(cf))
+            centernesses.append(ctr_out(rf))
         return cls_scores, bbox_preds, angle_clses, centernesses
 
 
@@ -317,17 +326,6 @@ def csl_fcos_loss(cls_scores, bbox_preds, angle_clses, centernesses,
                                    avg_factor=1.0)
         tgt = gts[gt_idx]
         dist_t = coder.encode(points, tgt)
-        # horizontal IoU on (l, t, r, b) boxes around each point
-        def to_hbb(d):
-            return jnp.stack([points[:, 0] - d[:, 0],
-                              points[:, 1] - d[:, 1],
-                              points[:, 0] + d[:, 2],
-                              points[:, 1] + d[:, 3]], -1)
-        iou = bbox_overlaps(to_hbb(reg_s), to_hbb(dist_t[:, :4]),
-                            aligned=True)
-        l_box = jnp.sum(-jnp.log(jnp.clip(iou, 1e-6, 1.0)) * posf)
-        l_ang = csl_angle_loss(ang_s, tgt[:, 4], posf, acoder,
-                               avg_factor=1.0)
         lr_min = jnp.minimum(dist_t[:, 0], dist_t[:, 2])
         lr_max = jnp.maximum(dist_t[:, 0], dist_t[:, 2])
         tb_min = jnp.minimum(dist_t[:, 1], dist_t[:, 3])
@@ -335,15 +333,30 @@ def csl_fcos_loss(cls_scores, bbox_preds, angle_clses, centernesses,
         ctr_t = jnp.sqrt(jnp.clip(
             (lr_min / jnp.maximum(lr_max, 1e-6)) *
             (tb_min / jnp.maximum(tb_max, 1e-6)), 0, 1))
+        ctr_w = jnp.where(pos, ctr_t, 0.0)
+        # horizontal IoU on (l, t, r, b) boxes around each point;
+        # centerness-weighted with centerness_denorm, like the non-sep
+        # path (csl_rotated_fcos_head.py:145-167)
+        def to_hbb(d):
+            return jnp.stack([points[:, 0] - d[:, 0],
+                              points[:, 1] - d[:, 1],
+                              points[:, 0] + d[:, 2],
+                              points[:, 1] + d[:, 3]], -1)
+        iou = bbox_overlaps(to_hbb(reg_s), to_hbb(dist_t[:, :4]),
+                            aligned=True)
+        l_box = jnp.sum(-jnp.log(jnp.clip(iou, 1e-6, 1.0)) * ctr_w)
+        l_ang = csl_angle_loss(ang_s, tgt[:, 4], posf, acoder,
+                               avg_factor=1.0)
         l_ctr = sigmoid_cross_entropy(
             ctr_s, ctr_t, weight=posf, avg_factor=1.0)
-        return l_cls, l_box, l_ang, l_ctr, jnp.sum(pos)
+        return l_cls, l_box, l_ang, l_ctr, jnp.sum(pos), jnp.sum(ctr_w)
 
-    l_cls, l_box, l_ang, l_ctr, n_pos = jax.vmap(single)(
+    l_cls, l_box, l_ang, l_ctr, n_pos, ctr_sum = jax.vmap(single)(
         flat_cls, flat_reg, flat_ang, flat_ctr, gt_obbs, gt_labels,
         gt_mask)
     total = jnp.maximum(jnp.sum(n_pos).astype(jnp.float32), 1.0)
+    denorm = jnp.maximum(jax.lax.stop_gradient(jnp.sum(ctr_sum)), 1e-6)
     return {"loss_cls": jnp.sum(l_cls) / total,
-            "loss_bbox": jnp.sum(l_box) / total,
-            "loss_angle": jnp.sum(l_ang) * flat_ang.shape[0] / total,
+            "loss_bbox": jnp.sum(l_box) / denorm,
+            "loss_angle": jnp.sum(l_ang) / total,
             "loss_centerness": jnp.sum(l_ctr) / total}

@@ -158,7 +158,7 @@ def giou_loss(pred, target, eps=1e-7, weight=None, avg_factor=None):
     return _reduce(1 - giou, weight, avg_factor)
 
 
-def rotated_iou_loss(pred, target, mode="linear", eps=1e-6,
+def rotated_iou_loss(pred, target, mode="log", eps=1e-6,
                      weight=None, avg_factor=None):
     """Differentiable rotated IoU loss (``rotated_iou_loss.py:62``);
     the polygon-clip IoU in :mod:`sm3det_tpu.ops.rotated_iou` is already

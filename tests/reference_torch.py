@@ -219,6 +219,7 @@ class _RefRegistry:
 ROTATED_LOSSES = _RefRegistry()
 ROTATED_HEADS = _RefRegistry()
 ROTATED_BBOX_CODERS = _RefRegistry()
+BBOX_CODERS = _RefRegistry()
 
 def build_loss(cfg):
     raise NotImplementedError("stub: inject losses directly in tests")
