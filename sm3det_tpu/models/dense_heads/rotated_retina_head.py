@@ -127,6 +127,15 @@ def make_retina_anchor_generator(strides=(8, 16, 32, 64, 128)):
         octave_base_scale=4, scales_per_octave=3)
 
 
+def make_retina_coder(version="le90"):
+    """Retina-family delta coder: target_stds ALL 1.0
+    (``rotated_retinanet_obb_r50_fpn_1x_dota_le90.py:40-47``) — unlike
+    the RCNN coder's (0.1, 0.1, 0.2, 0.2, 0.1)."""
+    return DeltaXYWHAOBBoxCoder(
+        angle_range=version, target_means=(0.,) * 5,
+        target_stds=(1., 1., 1., 1., 1.), edge_swap=True, proj_xy=True)
+
+
 def retina_loss(cls_scores, bbox_preds, gt_obbs, gt_labels, gt_mask,
                 anchor_generator, coder: DeltaXYWHAOBBoxCoder,
                 num_classes: int, pos_iou_thr=0.5, neg_iou_thr=0.4,
@@ -164,11 +173,21 @@ def retina_loss(cls_scores, bbox_preds, gt_obbs, gt_labels, gt_mask,
             cls_s, cls_target,
             weight=(pos | neg).astype(jnp.float32), avg_factor=1.0)
         pos_w = pos.astype(jnp.float32)
-        if reg_loss == "smooth_l1":
+        if reg_loss in ("smooth_l1", "l1"):
+            # 'l1' = reference L1Loss (rotated_retinanet config :54);
+            # 'smooth_l1' beta=0.11 = R3Det/S2ANet s1 (r3det config :53)
             targets = coder.encode(anchors, gts[gt_idx])
-            l_reg = smooth_l1_loss(
-                reg_s, targets, beta=beta,
-                weight=pos[:, None].astype(jnp.float32), avg_factor=1.0)
+            if reg_loss == "l1":
+                from ..losses import l1_loss
+                l_reg = l1_loss(
+                    reg_s, targets,
+                    weight=pos[:, None].astype(jnp.float32),
+                    avg_factor=1.0)
+            else:
+                l_reg = smooth_l1_loss(
+                    reg_s, targets, beta=beta,
+                    weight=pos[:, None].astype(jnp.float32),
+                    avg_factor=1.0)
         else:
             from ..losses import gwd_loss, kfiou_loss, kld_loss, \
                 rotated_iou_loss

@@ -27,6 +27,7 @@ from ..dense_heads.oriented_rpn_head import (OrientedRPNHead,
                                              rpn_get_proposals, rpn_loss)
 from ..dense_heads.rotated_retina_head import (RotatedRetinaHead,
                                                make_retina_anchor_generator,
+                                               make_retina_coder,
                                                retina_loss)
 from ..dense_heads.rpn_head import (RPNHead, hbb_rpn_get_proposals,
                                     hbb_rpn_loss)
@@ -159,10 +160,13 @@ class TriSourceVariant(nn.Module):
                     else self.ifr_bbox_head
                 cls_scores, bbox_preds = head(x)
                 gen = make_retina_anchor_generator()
-                coder = make_rcnn_coder(version)
+                # R1-stage retina: stds 1.0 + L1
+                # (SM3Det_convnext_t_s2anet_retina.py:44-51)
+                coder = make_retina_coder(version)
                 rl = retina_loss(cls_scores, bbox_preds, data["gt_obbs"],
                                  data["gt_labels"], data["gt_mask"],
-                                 gen, coder, c["num_classes"])
+                                 gen, coder, c["num_classes"],
+                                 reg_loss="l1")
                 losses.update({f"{key}_{k}": v for k, v in rl.items()})
             else:
                 x = self.neck(feats_m, start_level=0,

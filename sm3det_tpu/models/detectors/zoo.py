@@ -23,6 +23,7 @@ from ..dense_heads.oriented_rpn_head import (OrientedRPNHead,
                                              rpn_get_proposals, rpn_loss)
 from ..dense_heads.rotated_retina_head import (RotatedRetinaHead,
                                                make_retina_anchor_generator,
+                                               make_retina_coder,
                                                retina_get_bboxes,
                                                retina_loss)
 from ..necks.fpn import MultitaskFPN
@@ -74,11 +75,13 @@ class RotatedRetinaNet(nn.Module):
         x, gate_loss = self.extract_feat(batch["img"], train=train)
         cls_scores, bbox_preds = self.bbox_head(x)
         gen = make_retina_anchor_generator()
-        coder = make_rcnn_coder(c.get("angle_version", "le90"))
+        # retina coder: stds all 1.0 + L1 reg loss
+        # (rotated_retinanet_obb_r50_fpn_1x_dota_le90.py:40-54)
+        coder = make_retina_coder(c.get("angle_version", "le90"))
         losses = retina_loss(
             cls_scores, bbox_preds, batch["gt_obbs"], batch["gt_labels"],
             batch["gt_mask"], gen, coder, c["num_classes"],
-            reg_loss=c.get("reg_loss", "smooth_l1"))
+            reg_loss=c.get("reg_loss", "l1"))
         if gate_loss is not None:
             losses["gate_loss"] = gate_loss
         return losses
@@ -88,7 +91,7 @@ class RotatedRetinaNet(nn.Module):
         x, _ = self.extract_feat(imgs, train=False)
         cls_scores, bbox_preds = self.bbox_head(x)
         gen = make_retina_anchor_generator()
-        coder = make_rcnn_coder(c.get("angle_version", "le90"))
+        coder = make_retina_coder(c.get("angle_version", "le90"))
         return retina_get_bboxes(
             cls_scores, bbox_preds, gen, coder, c["num_classes"],
             img_shape)

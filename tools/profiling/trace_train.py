@@ -87,10 +87,15 @@ def main():
                 -1).astype(np.float32)
         return d
 
-    batch = {"sar": mk(2, False), "rgb": mk(1, True), "ifr": mk(1, True)}
+    comp = tuple(int(v) for v in os.environ.get(
+        "SM3DET_TRACE_COMP", "2,1,1").split(","))
+    nimg = sum(comp)
+    batch = {"sar": mk(comp[0], False), "rgb": mk(comp[1], True),
+             "ifr": mk(comp[2], True)}
     batch = jax.tree.map(jnp.asarray, batch)
     log("initializing params (jitted)...")
-    params = init_trisource(jax.random.PRNGKey(0), model_init, batch)
+    params = init_trisource(jax.random.PRNGKey(0), model_init, batch,
+                            source_ratio=comp)
     jax.block_until_ready(params)
 
     init_fn, update_fn, _ = make_optimizer(base_lr=1e-4, weight_decay=0.05)
@@ -98,7 +103,7 @@ def main():
                        rng=jax.random.PRNGKey(1), prev_losses=None,
                        ema=None)
     step = build_train_step(model, init_fn, update_fn,
-                            source_ratio=(2, 1, 1))
+                            source_ratio=comp)
 
     @jax.jit
     def jstep(st, b):
@@ -153,8 +158,8 @@ def main():
         by_name[name] += dur
         total += dur
     print(f"\n== TRAIN step XLA Ops, per-iteration device ms "
-          f"(total {total:.1f} ms, 4 images => "
-          f"{4 / total * 1e3:.1f} img/s device-bound) ==")
+          f"(total {total:.1f} ms, {nimg} images => "
+          f"{nimg / total * 1e3:.1f} img/s device-bound) ==")
     for gname, ms in by_group.most_common(50):
         print(f"{ms:8.2f}  {gname}")
     print("\n== top individual ops ==")
