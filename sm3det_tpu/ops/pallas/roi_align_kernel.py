@@ -436,37 +436,66 @@ def _make_bwd_kernel(patch, px, p, c, pout, gsq, kc, total,
     """Per grid step (one RoI): recompute the (patch*px, P) bilinear
     stencil transposed, matmul against the RoI's pooled output grads on
     the MXU, and accumulate the resulting window gradient into the f32
-    grad slab with a read-modify-write DMA pair. Grid steps execute
-    sequentially on the TPU core, and each step waits for the previous
-    step's write-back before reading, so overlapping windows (the
-    scatter-add hazard) accumulate exactly. The stencil matmul needs
-    neither DMA, so it hides under the window round-trip."""
+    grad slab with a read-modify-write DMA pair.
+
+    Pipelined RMW: the window scratch is double-buffered and the wrapper
+    prefetches a per-RoI ``conflict`` flag (window i overlaps window
+    i-1). Only a conflicting step must wait for the previous write-back
+    before reading — the common case (disjoint windows, the vast
+    majority of sampled RoIs) overlaps step i's read+matmul with step
+    i-1's write-back, instead of fully serializing every step. Each
+    write semaphore is consumed exactly once: wr(j) is waited at step
+    j+1 when conflict[j+1], else at step j+2 (slot reuse), with the
+    tail handled after the last write is issued. Overlapping windows
+    still accumulate exactly — a conflicting read never starts until
+    the overlapping write has landed."""
     nchunks = patch // kc
 
-    def kernel(oy_ref, ox_ref, coords_ref, g_ref, zeros_ref, dslab_ref,
-               win, rsem, wsem):
+    def kernel(oy_ref, ox_ref, conf_ref, coords_ref, g_ref, zeros_ref,
+               dslab_ref, win0, win1, rsem, wsem0, wsem1):
         del zeros_ref                       # aliased with dslab_ref
         i = pl.program_id(0)
+        even = jax.lax.rem(i, 2) == 0       # parity selects the buffer
 
-        def rd():
+        def rd(buf):
             ox = pl.multiple_of(ox_ref[i], ALIGN)
             return pltpu.make_async_copy(
                 dslab_ref.at[pl.ds(oy_ref[i], patch), pl.ds(ox, px), :],
-                win, rsem)
+                buf, rsem)
 
-        def wr(idx):
+        def wr(idx, buf, sem):
             ox = pl.multiple_of(ox_ref[idx], ALIGN)
             return pltpu.make_async_copy(
-                win, dslab_ref.at[pl.ds(oy_ref[idx], patch),
-                                  pl.ds(ox, px), :], wsem)
+                buf, dslab_ref.at[pl.ds(oy_ref[idx], patch),
+                                  pl.ds(ox, px), :], sem)
 
-        # the previous write must land before this window is read: two
-        # RoIs' windows may overlap (this is what serializes the scan)
-        @pl.when(i > 0)
+        def per_parity(fn):
+            # static two-way specialization (Mosaic cannot DMA-slice a
+            # dynamically indexed 4-D scratch with c < 128)
+            @pl.when(even)
+            def _():
+                fn(win0, wsem0, win1, wsem1)
+
+            @pl.when(jnp.logical_not(even))
+            def _():
+                fn(win1, wsem1, win0, wsem0)
+
+        # overlap hazard: window i intersects window i-1 -> its write
+        # must land before this read starts
+        @pl.when((i > 0) & (conf_ref[i] == 1))
         def _():
-            wr(i - 1).wait()
+            per_parity(lambda mybuf, mysem, obuf, osem:
+                       wr(i - 1, obuf, osem).wait())
 
-        rd().start()
+        # slot reuse: wr(i-2) wrote from this parity's buffer; wait it
+        # here unless it was already consumed by step i-1's conflict wait
+        @pl.when((i > 1) & (conf_ref[i - 1] == 0))
+        def _():
+            per_parity(lambda mybuf, mysem, obuf, osem:
+                       wr(i - 2, mybuf, mysem).wait())
+
+        per_parity(lambda mybuf, mysem, obuf, osem:
+                   rd(mybuf).start())
 
         # stencil weights while the read flies (no DMA dependence)
         y = coords_ref[0, 0, :]
@@ -488,7 +517,8 @@ def _make_bwd_kernel(patch, px, p, c, pout, gsq, kc, total,
         gs = jnp.broadcast_to(gs[:, None, :], (pout, gsq, c)) \
             .reshape(p, c).astype(compute_dtype)
 
-        rd().wait()
+        # whole-window gradient as register values (parity-independent)
+        wgs = []
         for ck in range(nchunks):
             qy = jax.lax.broadcasted_iota(
                 jnp.int32, (kc, 1, p), 0).astype(jnp.float32) \
@@ -500,14 +530,26 @@ def _make_bwd_kernel(patch, px, p, c, pout, gsq, kc, total,
             wch = (wy.astype(compute_dtype) * wx[None]) \
                 .reshape(kc * px, p)
             wg = jnp.dot(wch, gs, preferred_element_type=jnp.float32)
-            win[ck * kc:(ck + 1) * kc] = \
-                win[ck * kc:(ck + 1) * kc] + wg.reshape(kc, px, c)
+            wgs.append(wg.reshape(kc, px, c))
 
-        wr(i).start()
+        def accum_and_write(mybuf, mysem, obuf, osem):
+            rd(mybuf).wait()
+            for ck in range(nchunks):
+                mybuf[ck * kc:(ck + 1) * kc] = \
+                    mybuf[ck * kc:(ck + 1) * kc] + wgs[ck]
+            wr(i, mybuf, mysem).start()
+
+        per_parity(accum_and_write)
 
         @pl.when(i == total - 1)
         def _():
-            wr(i).wait()
+            # drain: wr(i-1) unless step i's conflict wait consumed it
+            @pl.when((i > 0) & (conf_ref[i] == 0))
+            def _():
+                per_parity(lambda mybuf, mysem, obuf, osem:
+                           wr(i - 1, obuf, osem).wait())
+            per_parity(lambda mybuf, mysem, obuf, osem:
+                       wr(i, mybuf, mysem).wait())
 
     return kernel
 
@@ -565,20 +607,32 @@ def roi_align_rotated_pyramid_fused_bwd(feats, rois, g, out_size: int = 7,
     g2 = g.reshape(n, pout, c)
     dslab0 = jnp.zeros((nb * sum_h, slab_w, c), jnp.float32)
 
+    # per-RoI conflict flag: does window i overlap window i-1?  Only
+    # those steps must serialize on the previous write-back (the kernel
+    # pipelines the rest) — on sampled detection RoIs most consecutive
+    # windows are disjoint
+    dy = jnp.abs(oy_abs[1:] - oy_abs[:-1])
+    dx = jnp.abs(ox_i[1:] - ox_i[:-1])
+    conf = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        ((dy < patch) & (dx < px)).astype(jnp.int32)])
+
     kc = 8                            # patch is always a multiple of 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, 2, p), lambda i, oy, ox: (i, 0, 0),
+            pl.BlockSpec((1, 2, p), lambda i, oy, ox, cf: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pout, c), lambda i, oy, ox: (i, 0, 0),
+            pl.BlockSpec((1, pout, c), lambda i, oy, ox, cf: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),       # zeros (aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((patch, px, c), jnp.float32),
+            pltpu.VMEM((patch, px, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -589,9 +643,9 @@ def roi_align_rotated_pyramid_fused_bwd(feats, rois, g, out_size: int = 7,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * sum_h, slab_w, c),
                                        jnp.float32),
-        input_output_aliases={4: 0},
+        input_output_aliases={5: 0},
         interpret=interpret,
-    )(oy_abs, ox_i, coords, g2, dslab0)
+    )(oy_abs, ox_i, conf, coords, g2, dslab0)
 
     ds = dslab.reshape(nb, sum_h, slab_w, c)
     grads = []
