@@ -160,8 +160,13 @@ class TriSourceVariant(nn.Module):
                     else self.ifr_bbox_head
                 cls_scores, bbox_preds = head(x)
                 gen = make_retina_anchor_generator()
-                # R1-stage retina: stds 1.0 + L1
-                # (SM3Det_convnext_t_s2anet_retina.py:44-51)
+                # R1-stage retina: stds 1.0 + L1, per
+                # rotated_retinanet_obb_r50_fpn_1x_dota_le90.py:40-54
+                # (the reference SM3Det retina-combo config's retina
+                # branch is *horizontal* mmdet RetinaHead on SAR only;
+                # this rotated RGB/IFR R1 branch has no exact reference
+                # counterpart, so it follows the standard rotated-retina
+                # recipe)
                 coder = make_retina_coder(version)
                 rl = retina_loss(cls_scores, bbox_preds, data["gt_obbs"],
                                  data["gt_labels"], data["gt_mask"],

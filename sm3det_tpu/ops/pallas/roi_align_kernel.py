@@ -489,7 +489,9 @@ def _make_bwd_kernel(patch, px, p, c, pout, gsq, kc, total,
 
         # slot reuse: wr(i-2) wrote from this parity's buffer; wait it
         # here unless it was already consumed by step i-1's conflict wait
-        @pl.when((i > 1) & (conf_ref[i - 1] == 0))
+        # (index clamped: `&` doesn't short-circuit, so conf_ref[i-1]
+        # would otherwise load SMEM index -1 on steps 0-1)
+        @pl.when((i > 1) & (conf_ref[jnp.maximum(i - 1, 0)] == 0))
         def _():
             per_parity(lambda mybuf, mysem, obuf, osem:
                        wr(i - 2, mybuf, mysem).wait())

@@ -165,22 +165,31 @@ def dla_multipliers(state: DLAState, losses: Dict[str, jnp.ndarray],
 
 
 def label_params(params, subnets: Sequence[str]):
-    """Label each param leaf with its subnet (top-level module name) or
-    '_shared_' — the reference maps param-groups by name prefix
-    (``dynamic_lr.py:177-191``)."""
+    """Label each param leaf with its subnet or '_shared_' — the
+    reference maps param-groups by name prefix (``dynamic_lr.py:177-191``,
+    which walks named_parameters so nested modules inherit the subnet).
+
+    Matches every dotted-path component (not just the top-level module
+    name) so a head registered under a wrapper module still labels
+    correctly; raises if a configured subnet matches no leaf (a silent
+    fall-through to '_shared_' would quietly disable DLA for that head).
+    """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def label_of_path(path):
-        top = None
-        for p in path:
-            if hasattr(p, "key"):
-                top = p.key
-                break
+        comps = [str(p.key) for p in path if hasattr(p, "key")]
         for s in subnets:
-            if top is not None and s in str(top):
+            if any(s in comp for comp in comps):
                 return s
         return "_shared_"
 
     labels = [label_of_path(path) for path, _ in flat]
+    matched = set(labels)
+    missing = [s for s in subnets if s not in matched]
+    if missing:
+        raise ValueError(
+            f"DLA subnets {missing} matched no parameter leaf; "
+            f"check the model's module names (labels seen: "
+            f"{sorted(matched)})")
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(treedef, labels)

@@ -76,6 +76,11 @@ def test_label_params():
         "neck": {"w": np.zeros(2)},
         "sar_bbox_head": {"w": np.zeros(2)},
         "rgb_rpn_head": {"w": np.zeros(2)},
+        "rgb_roi_head": {"w": np.zeros(2)},
+        # nested under a wrapper module: must still label (the reference
+        # walks named_parameters, so nesting inherits the prefix)
+        "heads": {"ifr_rpn_head": {"w": np.zeros(2)},
+                  "ifr_roi_head": {"w": np.zeros(2)}},
     }
     cfg = make_dla_config()
     labels = label_params(params, cfg.subnets)
@@ -83,3 +88,16 @@ def test_label_params():
     assert labels["neck"]["w"] == "_shared_"
     assert labels["sar_bbox_head"]["w"] == "sar_bbox_head"
     assert labels["rgb_rpn_head"]["w"] == "rgb_rpn_head"
+    assert labels["heads"]["ifr_rpn_head"]["w"] == "ifr_rpn_head"
+    assert labels["heads"]["ifr_roi_head"]["w"] == "ifr_roi_head"
+
+
+def test_label_params_missing_subnet_raises():
+    """A configured subnet that matches no leaf must raise, not silently
+    fall to '_shared_' (which would disable DLA for that head)."""
+    import pytest
+    params = {"backbone": {"w": np.zeros(2)},
+              "sar_bbox_head": {"w": np.zeros(2)}}
+    cfg = make_dla_config()
+    with pytest.raises(ValueError, match="matched no parameter leaf"):
+        label_params(params, cfg.subnets)

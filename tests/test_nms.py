@@ -207,3 +207,42 @@ def test_aug_multiclass_nms_rotated_merges_across_augs():
     assert ((50.0, 50.0), 1, 0.6) in kept          # cross-class survives
     assert len(kept) == 3                          # dup + invalid dropped
     assert not any(s == 0.99 for (_, _, s) in kept)
+
+
+def test_aug_merge_small_max_out_keeps_top_scores_post_nms():
+    """TTA-merge cap semantics at small ``max_out``: the full union is
+    suppressed first (a cross-variant duplicate must NOT consume an
+    output slot), then survivors are truncated to the top-``max_out`` by
+    score — exactly the reference's post-NMS ``max_num`` truncation
+    (``mmrotate/core/post_processing/bbox_nms_rotated.py:136-141``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sm3det_tpu.ops.nms import aug_multiclass_nms_rotated
+
+    # variant 1: four well-separated class-0 objects, scores desc
+    d1 = jnp.array([[50., 50., 20., 10., 0.0, 0.9],
+                    [150., 50., 20., 10., 0.0, 0.8],
+                    [50., 150., 20., 10., 0.0, 0.7],
+                    [150., 150., 20., 10., 0.0, 0.6]])
+    l1 = jnp.zeros(4, jnp.int32)
+    v1 = jnp.ones(4, bool)
+    # variant 2: duplicate of the top box (suppressed by it) + two new
+    # separated objects whose scores straddle variant 1's
+    d2 = jnp.array([[50.2, 50., 20., 10., 0.0, 0.85],
+                    [250., 50., 20., 10., 0.0, 0.75],
+                    [250., 150., 20., 10., 0.0, 0.65]])
+    l2 = jnp.zeros(3, jnp.int32)
+    v2 = jnp.ones(3, bool)
+
+    # union post-NMS = 6 distinct objects; cap at 3
+    out, labels, valid = jax.jit(
+        lambda: aug_multiclass_nms_rotated(
+            (d1, d2), (l1, l2), (v1, v2), iou_thr=0.5, max_out=3))()
+    out, labels, valid = map(np.asarray, (out, labels, valid))
+    assert valid.all()
+    scores = sorted(np.round(out[:, 5], 3).tolist(), reverse=True)
+    # the duplicate (0.85) must NOT appear; the top-3 survivors are
+    # 0.9, 0.8, 0.75 — NOT 0.9, 0.85, 0.8 (which would mean the
+    # duplicate was truncated in instead of suppressed)
+    assert scores == [0.9, 0.8, 0.75], scores

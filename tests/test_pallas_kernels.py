@@ -520,3 +520,47 @@ def test_fused_align_bwd_kernel_matches_jnp_vjp():
         a, b = np.asarray(a), np.asarray(b)
         rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
         assert rel < 1e-4, rel
+
+
+def test_fused_align_bwd_all_overlapping_rois():
+    """Adversarial case for the conflict-gated double-buffered RMW
+    pipeline: every RoI shares one center so EVERY consecutive window
+    pair conflicts (conf[i]=1 for all i>0) and the accumulate chain is
+    fully serialized. Guards the slot-reuse/conflict-wait logic in
+    roi_align_kernel.py (the class of bug the double-buffering could
+    silently introduce: a lost or doubled partial accumulation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sm3det_tpu.ops.pallas.roi_align_kernel import (
+        compute_patch_size, roi_align_rotated_pyramid_fused_bwd,
+        route_levels)
+    from sm3det_tpu.ops.roi_align_rotated import roi_align_rotated_pyramid
+
+    rng = np.random.RandomState(7)
+    bsz, c, n = 2, 64, 40
+    strides = (4, 8, 16, 32)
+    feats = tuple(jnp.asarray(rng.rand(bsz, 256 // s, 256 // s, c)
+                              .astype(np.float32)) for s in strides)
+    rois = jnp.asarray(np.stack([
+        np.zeros(n, np.float32),
+        np.full(n, 120.0, np.float32), np.full(n, 120.0, np.float32),
+        rng.uniform(24, 60, n).astype(np.float32),
+        rng.uniform(24, 60, n).astype(np.float32),
+        rng.uniform(-1.4, 1.4, n).astype(np.float32)], -1))
+    g = jnp.asarray(rng.randn(n, 7, 7, c).astype(np.float32))
+
+    patch = compute_patch_size([f.shape[1] for f in feats],
+                               [f.shape[2] for f in feats])
+    lvls = route_levels(rois, patch, strides, 56, len(strides))
+    _, vjp = jax.vjp(
+        lambda f: roi_align_rotated_pyramid(list(f), rois, lvls, 7,
+                                            featmap_strides=strides),
+        feats)
+    ref = vjp(g)[0]
+    got = roi_align_rotated_pyramid_fused_bwd(
+        feats, rois, g, 7, strides, interpret=True)
+    for a, b in zip(got, ref):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        assert rel < 1e-4, rel
