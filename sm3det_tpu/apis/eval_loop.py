@@ -81,6 +81,15 @@ def annotation_of(raw: Dict, gt_key: str) -> Dict:
     if raw.get(gt_key + "_ignore") is not None:
         ann["bboxes_ignore"] = raw[gt_key + "_ignore"]
         ann["labels_ignore"] = raw["labels_ignore"]
+    # COCO-protocol extras (areas + crowd regions) when the dataset
+    # provides them (CocoDetDataset / SARDet path)
+    if raw.get("areas") is not None:
+        ann["areas"] = raw["areas"]
+    if raw.get(gt_key + "_crowd") is not None:
+        ann["bboxes_crowd"] = raw[gt_key + "_crowd"]
+        ann["labels_crowd"] = raw["labels_crowd"]
+        if raw.get("areas_crowd") is not None:
+            ann["areas_crowd"] = raw["areas_crowd"]
     return ann
 
 

@@ -172,23 +172,38 @@ class CocoDetDataset(BaseDetDataset):
         imgs = {im["id"]: im for im in coco["images"]}
         anns_by_img: Dict[int, List] = {}
         for a in coco["annotations"]:
-            if a.get("iscrowd", 0):
-                continue
             anns_by_img.setdefault(a["image_id"], []).append(a)
         self.infos = []
         for img_id, im in imgs.items():
             anns = anns_by_img.get(img_id, [])
-            boxes, labels = [], []
+            boxes, labels, areas = [], [], []
+            cboxes, clabels, careas = [], [], []
             for a in anns:
                 if a["category_id"] not in cat_to_label:
                     continue
                 x, y, w, h = a["bbox"]
-                boxes.append([x, y, x + w, y + h])
-                labels.append(cat_to_label[a["category_id"]])
+                # COCO eval uses the annotation's 'area' field (w*h
+                # for box-only jsons) for the area-range breakdown
+                area = float(a.get("area", w * h))
+                if a.get("iscrowd", 0):
+                    # crowd regions: excluded from training targets,
+                    # kept as ignore regions for COCO-protocol eval
+                    # (mmdet routes them to gt_bboxes_ignore)
+                    cboxes.append([x, y, x + w, y + h])
+                    clabels.append(cat_to_label[a["category_id"]])
+                    careas.append(area)
+                else:
+                    boxes.append([x, y, x + w, y + h])
+                    labels.append(cat_to_label[a["category_id"]])
+                    areas.append(area)
             self.infos.append(dict(
                 file_name=im["file_name"], img_id=img_id,
                 hbbs=np.asarray(boxes, np.float32).reshape(-1, 4),
-                labels=np.asarray(labels, np.int32)))
+                labels=np.asarray(labels, np.int32),
+                areas=np.asarray(areas, np.float64),
+                hbbs_crowd=np.asarray(cboxes, np.float32).reshape(-1, 4),
+                labels_crowd=np.asarray(clabels, np.int32),
+                areas_crowd=np.asarray(careas, np.float64)))
         self.img_folder = img_folder
 
     def __len__(self):
@@ -198,7 +213,11 @@ class CocoDetDataset(BaseDetDataset):
         info = self.infos[idx]
         img = _imread(os.path.join(self.img_folder, info["file_name"]))
         return dict(img=img, hbbs=info["hbbs"].copy(),
-                    labels=info["labels"].copy(), img_id=info["img_id"])
+                    labels=info["labels"].copy(), img_id=info["img_id"],
+                    areas=info["areas"].copy(),
+                    hbbs_crowd=info["hbbs_crowd"].copy(),
+                    labels_crowd=info["labels_crowd"].copy(),
+                    areas_crowd=info["areas_crowd"].copy())
 
 
 HRSC_CLASSES = ("ship",)

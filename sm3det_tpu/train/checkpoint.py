@@ -325,3 +325,54 @@ def internvit_torch_to_jax(sd: Dict[str, np.ndarray], params: Dict,
                 blk[ls] = v
         i += 1
     return out
+
+
+def rpn_head_torch_to_jax(sd: Dict[str, np.ndarray], params: Dict,
+                          prefix: str = "") -> Dict:
+    """Ingest a reference (Oriented)RPNHead state dict
+    (``mmrotate/models/dense_heads/oriented_rpn_head.py:18-24``:
+    ``rpn_conv`` 3x3 + ``rpn_cls``/``rpn_reg`` 1x1) into our flax
+    OrientedRPNHead params. Torch convs (O, I, kh, kw) -> flax
+    (kh, kw, I, O)."""
+    import copy
+    out = copy.deepcopy(params)
+
+    def tconv(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    for name in ("rpn_conv", "rpn_cls", "rpn_reg"):
+        out[name]["kernel"] = tconv(sd[prefix + name + ".weight"])
+        out[name]["bias"] = np.asarray(sd[prefix + name + ".bias"])
+    return out
+
+
+def shared2fc_head_torch_to_jax(sd: Dict[str, np.ndarray], params: Dict,
+                                roi_size: int = 7,
+                                prefix: str = "") -> Dict:
+    """Ingest a reference RotatedShared2FCBBoxHead state dict
+    (``mmrotate/models/roi_heads/bbox_heads/convfc_rbbox_head.py:210``)
+    into our flax RotatedShared2FCBBoxHead.
+
+    The first shared fc consumes the flattened RoI feature: torch
+    flattens NCHW -> (C, h, w) order while our NHWC head flattens
+    (h, w, C), so its weight is permuted accordingly; the remaining
+    linears are plain transposes.
+    """
+    import copy
+    out = copy.deepcopy(params)
+    w0 = np.asarray(sd[prefix + "shared_fcs.0.weight"])    # (out, C*s*s)
+    n_out = w0.shape[0]
+    c = w0.shape[1] // (roi_size * roi_size)
+    w0 = w0.reshape(n_out, c, roi_size, roi_size)
+    w0 = np.transpose(w0, (2, 3, 1, 0)).reshape(
+        roi_size * roi_size * c, n_out)
+    out["shared_fc0"]["kernel"] = w0
+    out["shared_fc0"]["bias"] = np.asarray(sd[prefix + "shared_fcs.0.bias"])
+    out["shared_fc1"]["kernel"] = np.asarray(
+        sd[prefix + "shared_fcs.1.weight"]).T
+    out["shared_fc1"]["bias"] = np.asarray(sd[prefix + "shared_fcs.1.bias"])
+    out["fc_cls"]["kernel"] = np.asarray(sd[prefix + "fc_cls.weight"]).T
+    out["fc_cls"]["bias"] = np.asarray(sd[prefix + "fc_cls.bias"])
+    out["fc_reg"]["kernel"] = np.asarray(sd[prefix + "fc_reg.weight"]).T
+    out["fc_reg"]["bias"] = np.asarray(sd[prefix + "fc_reg.bias"])
+    return out

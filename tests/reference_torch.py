@@ -220,6 +220,8 @@ ROTATED_LOSSES = _RefRegistry()
 ROTATED_HEADS = _RefRegistry()
 ROTATED_BBOX_CODERS = _RefRegistry()
 BBOX_CODERS = _RefRegistry()
+ROTATED_ROI_EXTRACTORS = _RefRegistry()
+ROTATED_DATASETS = _RefRegistry()
 
 def build_loss(cfg):
     raise NotImplementedError("stub: inject losses directly in tests")

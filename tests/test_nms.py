@@ -241,7 +241,8 @@ def test_aug_merge_small_max_out_keeps_top_scores_post_nms():
             (d1, d2), (l1, l2), (v1, v2), iou_thr=0.5, max_out=3))()
     out, labels, valid = map(np.asarray, (out, labels, valid))
     assert valid.all()
-    scores = sorted(np.round(out[:, 5], 3).tolist(), reverse=True)
+    scores = sorted((round(float(s), 3) for s in out[:, 5]),
+                    reverse=True)
     # the duplicate (0.85) must NOT appear; the top-3 survivors are
     # 0.9, 0.8, 0.75 — NOT 0.9, 0.85, 0.8 (which would mean the
     # duplicate was truncated in instead of suppressed)

@@ -125,3 +125,166 @@ def test_exp_warmup_matches_mmcv():
         expect = 0.1 ** (1 - it / 20)
         assert abs(float(sched(jnp.asarray(it))) - expect) < 1e-7
     assert abs(float(sched(jnp.asarray(20))) - 1.0) < 1e-7
+
+
+def _ref_annealing_cos(start, end, factor, weight=1.0):
+    """lr_updater.py:708 verbatim."""
+    import math
+    cos_out = math.cos(math.pi * factor) + 1
+    return end + 0.5 * weight * (start - end) * cos_out
+
+
+def _ref_cyclic(it, base, target_ratio, cyclic_times, step_ratio_up,
+                gamma, max_iters, anneal="cos"):
+    """CyclicLrUpdaterHook.get_lr verbatim (lr_updater.py:433-540)."""
+    max_iter_per_phase = max_iters // cyclic_times
+    iter_up_phase = int(step_ratio_up * max_iter_per_phase)
+    phases = [[0, iter_up_phase, 1, target_ratio[0]],
+              [iter_up_phase, max_iter_per_phase, target_ratio[0],
+               target_ratio[1]]]
+    curr_iter = it % max_iter_per_phase
+    curr_cycle = it // max_iter_per_phase
+    scale = gamma ** curr_cycle
+    for (start_iter, end_iter, start_ratio, end_ratio) in phases:
+        if start_iter <= curr_iter < end_iter:
+            if start_iter == 0:
+                end_ratio = 1 - scale + end_ratio * scale
+            else:
+                start_ratio = 1 - scale + start_ratio * scale
+            progress = curr_iter - start_iter
+            if anneal == "cos":
+                return _ref_annealing_cos(
+                    base * start_ratio, base * end_ratio,
+                    progress / (end_iter - start_iter))
+            return base * start_ratio + (
+                base * end_ratio - base * start_ratio) * (
+                progress / (end_iter - start_iter))
+    raise AssertionError
+
+
+def test_cyclic_lr_trajectory_matches_mmcv():
+    from sm3det_tpu.train.optim import make_lr_schedule
+    for gamma_cycle, anneal in ((1.0, "cos"), (0.7, "cos"),
+                                (1.0, "linear")):
+        sched = make_lr_schedule(
+            "cyclic", base_lr=0.01, max_iters=40, warmup=None,
+            warmup_iters=0, target_ratio=(10.0, 1e-4), cyclic_times=2,
+            step_ratio_up=0.4, anneal_strategy=anneal,
+            cyclic_gamma=gamma_cycle)
+        got = [float(sched(np.int32(i))) for i in range(40)]
+        expect = [_ref_cyclic(i, 0.01, (10.0, 1e-4), 2, 0.4,
+                              gamma_cycle, 40, anneal)
+                  for i in range(40)]
+        np.testing.assert_allclose(got, expect, rtol=1e-5,
+                                   err_msg=f"{gamma_cycle} {anneal}")
+
+
+def test_cosine_restart_lr_trajectory_matches_mmcv():
+    from sm3det_tpu.train.optim import make_lr_schedule
+    periods, weights = (10, 15, 20), (1.0, 0.5, 0.25)
+    cum = [10, 25, 45]
+    sched = make_lr_schedule(
+        "cosine_restart", base_lr=0.02, min_lr=1e-4, warmup=None,
+        warmup_iters=0, periods=periods, restart_weights=weights)
+    got = [float(sched(np.int32(i))) for i in range(45)]
+
+    def ref(it):
+        # CosineRestartLrUpdaterHook.get_lr (lr_updater.py:383-404)
+        idx = next(i for i, p in enumerate(cum) if it < p)
+        nearest = 0 if idx == 0 else cum[idx - 1]
+        alpha = min((it - nearest) / periods[idx], 1)
+        return _ref_annealing_cos(0.02, 1e-4, alpha, weights[idx])
+
+    np.testing.assert_allclose(got, [ref(i) for i in range(45)],
+                               rtol=1e-5)
+
+
+def test_flat_cosine_lr_trajectory_matches_mmcv():
+    from sm3det_tpu.train.optim import make_lr_schedule
+    sched = make_lr_schedule(
+        "flat_cosine", base_lr=0.01, min_lr_ratio=0.1, max_iters=20,
+        start_percent=0.6, warmup=None, warmup_iters=0)
+    got = [float(sched(np.int32(i))) for i in range(20)]
+
+    def ref(it):
+        # FlatCosineAnnealingLrUpdaterHook.get_lr (lr_updater.py:336-356)
+        start = round(20 * 0.6)
+        progress = it - start
+        if progress < 0:
+            return 0.01
+        return _ref_annealing_cos(0.01, 0.001, progress / (20 - start))
+
+    np.testing.assert_allclose(got, [ref(i) for i in range(20)],
+                               rtol=1e-5)
+
+
+def test_momentum_schedules_match_mmcv():
+    from sm3det_tpu.train.optim import make_momentum_schedule
+
+    # step momentum with min clip (StepMomentumUpdaterHook:196-214)
+    s = make_momentum_schedule("step", base_momentum=0.9,
+                               step_iters=(4, 8), gamma=0.5,
+                               min_momentum=0.3)
+    got = [float(s(np.int32(i))) for i in range(12)]
+    expect = [max(0.9 * 0.5 ** ((i >= 4) + (i >= 8)), 0.3)
+              for i in range(12)]
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+    # cosine momentum (CosineAnnealingMomentumUpdaterHook:237-250)
+    s = make_momentum_schedule("cosine", base_momentum=0.95,
+                               min_momentum_ratio=0.85 / 0.95,
+                               max_iters=10)
+    got = [float(s(np.int32(i))) for i in range(10)]
+    expect = [_ref_annealing_cos(0.95, 0.85, i / 10) for i in range(10)]
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+    # cyclic momentum mirrors cyclic LR with inverted default ratios
+    # (CyclicMomentumUpdaterHook:291-396)
+    s = make_momentum_schedule("cyclic", base_momentum=0.9,
+                               target_ratio=(0.85 / 0.95, 1.0),
+                               cyclic_times=1, step_ratio_up=0.4,
+                               max_iters=20)
+    got = [float(s(np.int32(i))) for i in range(20)]
+    expect = [_ref_cyclic(i, 0.9, (0.85 / 0.95, 1.0), 1, 0.4, 1.0, 20)
+              for i in range(20)]
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_momentum_warmup_divides():
+    """Momentum warmup divides the regular value
+    (get_warmup_momentum, momentum_updater.py:78-101)."""
+    from sm3det_tpu.train.optim import make_momentum_schedule
+    s = make_momentum_schedule("step", base_momentum=0.9, step_iters=(),
+                               warmup="linear", warmup_iters=5,
+                               warmup_ratio=0.8)
+    for i in range(8):
+        got = float(s(np.int32(i)))
+        if i < 5:
+            k = (1 - i / 5) * (1 - 0.8)
+            assert abs(got - 0.9 / (1 - k)) < 1e-7, i
+        else:
+            assert abs(got - 0.9) < 1e-7
+
+
+def test_dynamic_b1_adam_matches_static_when_constant():
+    """scale_by_adam_dynamic_b1 with a constant schedule must equal
+    optax.scale_by_adam exactly."""
+    import jax
+    import optax
+    from sm3det_tpu.train.optim import scale_by_adam_dynamic_b1
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    ref_t = optax.scale_by_adam(b1=0.9, b2=0.999)
+    dyn_t = scale_by_adam_dynamic_b1(lambda it: jnp.float32(0.9))
+    s_ref, s_dyn = ref_t.init(params), dyn_t.init(params)
+    key = jax.random.PRNGKey(0)
+    for i in range(5):
+        key, k = jax.random.split(key)
+        g = {"w": jax.random.normal(k, (4,)),
+             "b": jax.random.normal(k, (2,))}
+        u_ref, s_ref = ref_t.update(g, s_ref)
+        u_dyn, s_dyn = dyn_t.update(g, s_dyn)
+        for n in ("w", "b"):
+            np.testing.assert_allclose(np.asarray(u_ref[n]),
+                                       np.asarray(u_dyn[n]),
+                                       rtol=1e-5, atol=1e-6)

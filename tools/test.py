@@ -198,15 +198,28 @@ def main():
         return
 
     ev = cfg.get("evaluation")
-    scale_ranges = ev.get("scale_ranges") if ev is not None else None
-    res = eval_rbbox_map(det_results, annotations,
-                         box_dim=4 if sub == "sar" else 5,
-                         scale_ranges=scale_ranges)
+    # metric routing mirrors the reference config contract
+    # (main_SM3Det.py:286-288): SAR -> CocoDataset.evaluate('bbox')
+    # == pycocotools COCO protocol; RGB/IFR -> VOC-style 'mAP'
+    metric = (ev.get("metric") if ev is not None else None) or (
+        "bbox" if sub == "sar" else "mAP")
+    if metric == "bbox":
+        from sm3det_tpu.core.evaluation.coco_eval import coco_eval_bbox
+        res = coco_eval_bbox(
+            det_results, annotations,
+            classwise=bool(ev.get("classwise", True)) if ev else True,
+            class_names=classes)
+    else:
+        scale_ranges = ev.get("scale_ranges") if ev is not None else None
+        res = eval_rbbox_map(det_results, annotations,
+                             box_dim=4 if sub == "sar" else 5,
+                             scale_ranges=scale_ranges)
     print(res)
     if args.out:
         from sm3det_tpu.utils import fileio
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        fileio.dump({"eval": {k: float(v) if np.isscalar(v) else v
+        fileio.dump({"eval": {k: (float(v) if isinstance(
+                                  v, (int, float, np.floating)) else v)
                               for k, v in res.items()
                               if np.isscalar(v)},
                      "num_images": n_total,

@@ -366,6 +366,18 @@ def main():
                 gathered = collect_results_cpu(list(zip(dets, anns)), n)
                 if gathered is None:    # non-zero rank
                     return None
+                # metric contract per modality (main_SM3Det.py:286-288):
+                # SAR evaluates with the COCO bbox protocol
+                # (CocoDataset.evaluate('bbox')), RGB/IFR with
+                # VOC-style eval_rbbox_map ('mAP')
+                metric = cfg.evaluation.get("metric") or (
+                    "bbox" if sub == "sar" else "mAP")
+                if metric == "bbox":
+                    from sm3det_tpu.core.evaluation.coco_eval import (
+                        coco_eval_bbox)
+                    return coco_eval_bbox(
+                        [g[0] for g in gathered],
+                        [g[1] for g in gathered], logger=None)
                 return eval_rbbox_map([g[0] for g in gathered],
                                       [g[1] for g in gathered],
                                       box_dim=box_dim,
