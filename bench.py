@@ -198,5 +198,114 @@ def main():
     }))
 
 
+def main_train():
+    """Train-throughput bench contract (VERDICT r4 item 4): flagship
+    SM3Det-T train step — full MoE (e8k3) + DLA + AdamW, bf16 compute
+    policy — at the measured-best batch composition [4:2:2] @ 800px
+    (docs/PERF.md round-4 batch scaling: 38.5 img/s device-time at
+    batch 8; batch 16 adds +4.7% at 2x activation memory). Emits ONE
+    JSON line: images/sec/chip, wall-clock through the tunnel with
+    chained donated steps (amortizes the dispatch floor), value-fetch
+    timed. vs_baseline normalizes to the round-4 measured 38.5 img/s —
+    the number this contract defends (the reference publishes no train
+    throughput)."""
+    import copy
+
+    from sm3det_tpu.models.detectors.trisource import (DEFAULT_MODEL_CFG,
+                                                       TriSourceDetector)
+    from sm3det_tpu.train.dla import make_dla_config
+    from sm3det_tpu.train.optim import make_optimizer
+    from sm3det_tpu.train.train_state import (TrainState, build_train_step,
+                                              init_trisource)
+
+    comp = tuple(int(v) for v in
+                 os.environ.get("SM3DET_TRAIN_COMP", "4,2,2").split(","))
+    steps = int(os.environ.get("SM3DET_TRAIN_STEPS", "10"))
+    dtype = os.environ.get("SM3DET_BENCH_DTYPE", "bfloat16")
+    g = 16
+
+    cfg = copy.deepcopy(DEFAULT_MODEL_CFG)
+    model_init = TriSourceDetector(cfg=cfg)
+    cfg16 = copy.deepcopy(cfg)
+    if dtype != "float32":
+        cfg16["compute_dtype"] = dtype
+    model = TriSourceDetector(cfg=cfg16)
+
+    rng = np.random.RandomState(0)
+
+    def mk(n, obb):
+        out = {"img": rng.rand(n, IMG, IMG, 3).astype(np.float32),
+               "gt_labels": rng.randint(0, 26, (n, g)).astype(np.int32),
+               "gt_mask": np.ones((n, g), bool)}
+        if obb:
+            out["gt_obbs"] = np.stack([
+                rng.uniform(25, IMG - 25, (n, g)),
+                rng.uniform(25, IMG - 25, (n, g)),
+                rng.uniform(10, 60, (n, g)),
+                rng.uniform(6, 30, (n, g)),
+                rng.uniform(-1.2, 1.2, (n, g))], -1).astype(np.float32)
+        else:
+            cx = rng.uniform(20, IMG - 20, (n, g))
+            cy = rng.uniform(20, IMG - 20, (n, g))
+            w = rng.uniform(8, 60, (n, g))
+            h = rng.uniform(8, 60, (n, g))
+            out["gt_bboxes"] = np.stack(
+                [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                -1).astype(np.float32)
+        return out
+
+    batch = {"sar": mk(comp[0], False), "rgb": mk(comp[1], True),
+             "ifr": mk(comp[2], True)}
+
+    log(f"initializing flagship train state (comp={comp})...")
+    t0 = time.perf_counter()
+    params = init_trisource(jax.random.PRNGKey(0), model_init, batch,
+                            source_ratio=comp)
+    jax.block_until_ready(params)
+    log(f"init done in {time.perf_counter() - t0:.1f}s")
+
+    dla_cfg = make_dla_config(warmup_iters=500)
+    init_fn, update_fn, _ = make_optimizer(
+        base_lr=1e-4, step_iters=(80000,), warmup_iters=500,
+        dla_cfg=dla_cfg)
+    state = TrainState(params=params, opt=init_fn(params),
+                      rng=jax.random.PRNGKey(1))
+    step = build_train_step(model, init_fn, update_fn, source_ratio=comp)
+    jstep = jax.jit(step, donate_argnums=(0,))
+
+    batch_dev = jax.device_put(batch)
+    log("compiling train step...")
+    t0 = time.perf_counter()
+    state, metrics = jstep(state, batch_dev)
+    loss0 = float(metrics["loss"])          # value fetch forces execution
+    log(f"compile+first step in {time.perf_counter() - t0:.1f}s "
+        f"(loss={loss0:.4f})")
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = jstep(state, batch_dev)
+        lossv = float(metrics["loss"])      # materialize the chain
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    images = steps * sum(comp)
+    ips = images / dt
+    log(f"{images} images in {dt:.3f}s over {len(times)} trials "
+        f"(loss={lossv:.4f})")
+
+    print(json.dumps({
+        "metric": "SM3Det-T flagship train step images/sec/chip "
+                  f"(800x800, [{comp[0]} SAR:{comp[1]} RGB:{comp[2]} IR],"
+                  " bf16 compute, MoE e8k3 + DLA + AdamW)",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 38.5, 3),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        main_train()
+    else:
+        main()

@@ -167,3 +167,60 @@ def test_two_process_train_matches_single_process(tmp_path):
         assert os.path.isdir(os.path.join(wd, "iter_4")), \
             f"missing checkpoint in {wd}"
     assert "checkpoint saved" in outs[0]
+
+
+@pytest.mark.slow
+def test_two_process_sharded_checkpoint_save_and_resume(tmp_path):
+    """Save AND RESUME an orbax checkpoint under the 2-process sharded
+    mesh (VERDICT r4 item 3c: the all-ranks-save fix was in the code
+    path but untested end-to-end). Run 1 trains 4 iters and writes
+    iter_4 from globally-sharded arrays; run 2 (fresh 2-proc group)
+    auto-resumes from it and trains to iter 8 — restore must neither
+    deadlock nor corrupt state (losses stay finite and a complete
+    iter_8 checkpoint appears)."""
+    wd = str(tmp_path / "mp_resume")
+    cache = os.path.join(REPO, ".jax_cache")
+
+    # warm the compile cache with a single-process 4-device run first:
+    # with a cold cache the two ranks compile at different speeds and
+    # gloo context creation times out (30 s) waiting for the slower one
+    warm = subprocess.run(
+        [sys.executable, TRAIN, CFG, "--synthetic-data",
+         "--work-dir", str(tmp_path / "warm"), "--max-iters", "1"],
+        env=_base_env(n_cpu=4, cache_dir=cache), cwd=REPO,
+        capture_output=True, text=True, timeout=1500)
+    assert warm.returncode == 0, warm.stdout[-2000:] + \
+        warm.stderr[-2000:]
+
+    def run_pair(extra, timeout=1500):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = _base_env(n_cpu=2, cache_dir=cache)
+            env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+            env["NPROC"] = "2"
+            env["PROC_ID"] = str(pid)
+            cmd = [sys.executable, TRAIN, CFG, "--synthetic-data",
+                   "--work-dir", wd, "--cfg-options", "log_interval=1",
+                   "checkpoint_interval=4"] + extra
+            procs.append(subprocess.Popen(
+                cmd, env=env, cwd=REPO, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+        return outs
+
+    outs1 = run_pair(["--max-iters", "4"])
+    assert os.path.isdir(os.path.join(wd, "iter_4"))
+    assert "checkpoint saved" in outs1[0]
+
+    outs2 = run_pair(["--max-iters", "8", "--auto-resume"])
+    assert "resumed from" in outs2[0] and "at iter 4" in outs2[0]
+    assert os.path.isdir(os.path.join(wd, "iter_8"))
+
+    log = _read_log(wd)
+    iters = [line["iter"] for line in log if line.get("mode") != "val"]
+    assert iters == [1, 2, 3, 4, 5, 6, 7, 8], iters
+    assert all(np.isfinite(line["loss"]) for line in log
+               if "loss" in line)

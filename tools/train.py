@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 import argparse
+import time
 import os
 import sys
 
@@ -80,6 +81,16 @@ def init_distributed():
     print(f"jax.distributed: process {jax.process_index()}/"
           f"{jax.process_count()}, "
           f"{jax.local_device_count()} local devices")
+    if jax.process_count() > 1:
+        # prime the cross-process collective context NOW, while the
+        # processes are still in lockstep from the initialize()
+        # rendezvous: gloo context creation has a hard 30 s key-value
+        # timeout, and deferring it to the first training collective
+        # (after minutes of potentially skewed per-process compile)
+        # makes that timeout flaky on shared CPUs
+        from jax.experimental.multihost_utils import sync_global_devices
+        sync_global_devices("sm3det_collective_prime")
+        print("collective context primed")
 
 
 def build_datasets(cfg, synthetic: bool, seed_offset: int = 0,
@@ -312,6 +323,20 @@ def main():
             step, mesh, state, sample_batch)
     else:
         jstep = jax.jit(step, donate_argnums=(0,))
+
+    if jax.process_count() > 1:
+        # compile BEFORE the first dispatch and rendezvous on the
+        # startup-primed context: gloo creates each collective context
+        # lazily at first dispatch with a hard 30 s key-value timeout,
+        # so per-rank compile skew (minutes on a contended host when
+        # the persistent cache misses) must be absorbed here, not there
+        from jax.experimental.multihost_utils import sync_global_devices
+        t0 = time.perf_counter()
+        jstep.lower(state, device_put(sample_batch) if device_put
+                    else sample_batch).compile()
+        print(f"train step compiled in {time.perf_counter() - t0:.1f}s;"
+              " waiting for peers")
+        sync_global_devices("sm3det_train_step_compiled")
 
     # multi-val evaluation (the reference registers one EvalHook per
     # modality over cfg.data.val, mmrotate/apis/train.py:100-166); the
