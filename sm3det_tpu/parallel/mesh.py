@@ -51,3 +51,39 @@ def batch_sharding(mesh: Mesh, batch):
 def replicated(mesh: Mesh, tree):
     sh = NamedSharding(mesh, P())
     return jax.tree.map(lambda _: sh, tree)
+
+
+def zero1_opt_sharding(mesh: Mesh, opt_state, min_size: int = 2 ** 12):
+    """ZeRO-1-analog sharding tree for optimizer state (SURVEY §2.5:
+    the reference's only optimizer-state sharding is DeepSpeed ZeRO in
+    BabelRS_pretrain; on TPU it falls out of pjit sharding rules).
+
+    Every AdamW moment / accumulator leaf is sharded over the 'data'
+    mesh axis along its largest divisible dimension (expert-stacked
+    leaves keep their 'expert' axis-0 sharding and additionally shard a
+    later axis over 'data' when possible); tiny leaves and scalars stay
+    replicated. The update math is elementwise in the moments, so GSPMD
+    keeps the sharded layout through the step — cutting per-device
+    optimizer-state memory by ~dp with no semantic change
+    (tests/test_mesh_sharding.py asserts step equality).
+    """
+    dp = mesh.shape["data"]
+
+    def spec_for(path, leaf):
+        if not hasattr(leaf, "ndim") or leaf.ndim == 0 or \
+                getattr(leaf, "size", 0) < min_size:
+            return NamedSharding(mesh, P())
+        names = [str(getattr(p, "key", "")) for p in path]
+        expert = any("experts" in n for n in names) and leaf.ndim >= 2
+        axes = [None] * leaf.ndim
+        if expert:
+            axes[0] = "expert"
+        # largest remaining axis divisible by dp carries 'data'
+        for ax in sorted(range(1 if expert else 0, leaf.ndim),
+                         key=lambda a: -leaf.shape[a]):
+            if leaf.shape[ax] % dp == 0:
+                axes[ax] = "data"
+                break
+        return NamedSharding(mesh, P(*axes))
+
+    return jax.tree_util.tree_map_with_path(spec_for, opt_state)

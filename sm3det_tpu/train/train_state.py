@@ -127,15 +127,19 @@ def build_train_step(model: TriSourceDetector, init_fn, update_fn,
     return train_step
 
 
-def state_sharding(mesh, state: TrainState) -> TrainState:
+def state_sharding(mesh, state: TrainState,
+                   zero1: bool = False) -> TrainState:
     """Sharding tree for a TrainState: expert-stacked params (and their
     mirrored AdamW moments / accumulators, whose pytree paths contain the
-    same ``experts`` scope) over 'expert'; everything else replicated."""
-    from ..parallel.mesh import param_sharding
+    same ``experts`` scope) over 'expert'; everything else replicated.
+    ``zero1=True`` additionally shards the optimizer moments over the
+    'data' axis (ZeRO-1 analog, ``parallel/mesh.py::zero1_opt_sharding``)."""
+    from ..parallel.mesh import param_sharding, zero1_opt_sharding
 
     return TrainState(
         params=param_sharding(mesh, state.params),
-        opt=param_sharding(mesh, state.opt),
+        opt=zero1_opt_sharding(mesh, state.opt) if zero1
+        else param_sharding(mesh, state.opt),
         rng=NamedSharding(mesh, P()),
         prev_losses=None if state.prev_losses is None
         else jax.tree.map(lambda _: NamedSharding(mesh, P()),
@@ -144,14 +148,16 @@ def state_sharding(mesh, state: TrainState) -> TrainState:
         else param_sharding(mesh, state.ema))
 
 
-def shard_train_step(train_step, mesh, state, batch, donate: bool = True):
+def shard_train_step(train_step, mesh, state, batch, donate: bool = True,
+                     zero1: bool = False):
     """jit the step over the mesh: batch sharded on 'data', state
-    replicated except expert-parallel params/moments. Returns
+    replicated except expert-parallel params/moments (and, with
+    ``zero1=True``, data-axis-sharded optimizer moments). Returns
     (jitted_step, sharded_state, put_batch) where ``put_batch`` shards a
     host batch onto the mesh."""
     from ..parallel.mesh import batch_sharding
 
-    st_sh = state_sharding(mesh, state)
+    st_sh = state_sharding(mesh, state, zero1=zero1)
     b_sh = batch_sharding(mesh, batch)
     if jax.process_count() > 1:
         # multi-process: device_put onto non-addressable shardings runs a

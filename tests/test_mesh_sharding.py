@@ -258,3 +258,89 @@ def test_ep4_flagship_moe_step_equals_single_device():
     mean = float(np.mean(np.concatenate([d.ravel() for d in diffs])))
     assert worst < 2e-3, worst     # Adam sign-flip bound, see DP test
     assert mean < 1e-5, mean
+
+
+@pytest.mark.slow
+def test_zero1_optimizer_state_sharding_step_equality():
+    """ZeRO-1 analog (SURVEY §2.5): AdamW moments sharded over the
+    'data' axis must (a) actually split across devices and (b) leave
+    the training step numerically unchanged vs the replicated layout."""
+    from sm3det_tpu.models.backbones.convnext import ConvNeXtMoE
+    from sm3det_tpu.parallel.mesh import zero1_opt_sharding
+    from sm3det_tpu.train.optim import make_optimizer
+    from sm3det_tpu.train.train_state import TrainState
+
+    model = ConvNeXtMoE(arch="atto", moe_block_inds=((), (), (0,), ()),
+                        num_experts=4, top_k=2, gate="cosine",
+                        noisy_gating=True, capacity_factor=1.5)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(4, 128, 128, 3).astype(np.float32))
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "moe_noise": jax.random.PRNGKey(1)},
+                        jnp.zeros((1, 64, 64, 3)), train=True)["params"]
+    init_fn, update_fn, _ = make_optimizer(base_lr=1e-3, warmup_iters=0,
+                                           step_iters=())
+    opt0 = init_fn(params)
+
+    def loss_fn(p, xb):
+        outs, gate_loss = model.apply(
+            {"params": p}, xb, train=True,
+            rngs={"moe_noise": jax.random.PRNGKey(7)})
+        return sum(jnp.mean(o.astype(jnp.float32) ** 2)
+                   for o in outs) + 0.01 * gate_loss
+
+    def train_step(p, opt, xb):
+        loss, g = jax.value_and_grad(loss_fn)(p, xb)
+        updates, opt = update_fn(g, opt, p, None)
+        p = jax.tree.map(lambda a, u: a + u, p, updates)
+        return loss, p, opt
+
+    ref_loss, ref_p, ref_opt = jax.jit(train_step)(params, opt0, x)
+    ref_loss = float(ref_loss)
+
+    mesh = make_mesh(4, expert_parallel=2)
+    p_sh = param_sharding(mesh, params)
+    o_sh = zero1_opt_sharding(mesh, opt0, min_size=2 ** 8)
+    x_sh = NamedSharding(mesh, P("data"))
+    p_dev = jax.device_put(params, p_sh)
+    o_dev = jax.device_put(opt0, o_sh)
+    x_dev = jax.device_put(x, x_sh)
+
+    # (a) big moment leaves split over 'data' (2-way here, x2 expert
+    # where stacked)
+    sharded_leaves = [
+        l for l in jax.tree.leaves(o_dev)
+        if hasattr(l, "sharding") and l.ndim >= 1
+        and l.size >= 2 ** 8
+        and any(s is not None
+                for s in l.sharding.spec)]
+    assert sharded_leaves, "no optimizer-state leaf actually sharded"
+    assert any("data" in tuple(str(s) for s in l.sharding.spec)
+               for l in sharded_leaves), \
+        "no moment leaf sharded over the data axis"
+    # every sharded leaf: per-device shard strictly smaller than global
+    for l in sharded_leaves:
+        assert np.prod(l.sharding.shard_shape(l.shape)) < l.size
+
+    jstep = jax.jit(train_step,
+                    in_shardings=(p_sh, o_sh, x_sh),
+                    out_shardings=(NamedSharding(mesh, P()), p_sh, o_sh))
+    sh_loss, sh_p, sh_opt = jstep(p_dev, o_dev, x_dev)
+    np.testing.assert_allclose(float(sh_loss), ref_loss, rtol=1e-4)
+    # Adam sign-flip bound (see DP test above): sharded reduction order
+    # perturbs near-zero grads; no weight may move apart by > 2*lr and
+    # the aggregate drift must be tiny
+    for ref_t, sh_t in ((ref_p, sh_p), (ref_opt, sh_opt)):
+        ref_leaves = [a for a in jax.tree.leaves(jax.device_get(ref_t))
+                      if hasattr(a, "dtype")
+                      and np.issubdtype(a.dtype, np.floating)]
+        sh_leaves = [a for a in jax.tree.leaves(jax.device_get(sh_t))
+                     if hasattr(a, "dtype")
+                     and np.issubdtype(a.dtype, np.floating)]
+        diffs = [np.abs(a - b) for a, b in zip(ref_leaves, sh_leaves)
+                 if a.size]
+        worst = max(float(d.max()) for d in diffs)
+        mean = float(np.mean(np.concatenate(
+            [d.ravel() for d in diffs])))
+        assert worst < 2e-3, worst
+        assert mean < 1e-5, mean

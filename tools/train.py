@@ -320,7 +320,8 @@ def main():
     if mesh is not None:
         from sm3det_tpu.train.train_state import shard_train_step
         jstep, state, device_put = shard_train_step(
-            step, mesh, state, sample_batch)
+            step, mesh, state, sample_batch,
+            zero1=bool(cfg.get("zero1_optimizer_sharding", False)))
     else:
         jstep = jax.jit(step, donate_argnums=(0,))
 
