@@ -111,7 +111,9 @@ def make_lr_schedule(policy: str = "step", base_lr: float = 1e-4,
                      step_ratio_up: float = 0.4,
                      anneal_strategy: str = "cos",
                      cyclic_gamma: float = 1.0,
-                     start_percent: float = 0.75):
+                     start_percent: float = 0.75,
+                     div_factor: float = 25.0,
+                     final_div_factor: float = 1e4):
     """LR-updater zoo as jnp schedule fns (by-iter policies of
     ``mmcv/mmcv/runner/hooks/lr_updater.py``):
 
@@ -124,6 +126,10 @@ def make_lr_schedule(policy: str = "step", base_lr: float = 1e-4,
       (``CosineRestartLrUpdaterHook`` ``:358``)
     - ``cyclic``: CLR up/down phases with cycle decay
       (``CyclicLrUpdaterHook`` ``:433``)
+    - ``one_cycle``: 1cycle policy, ``base_lr`` as max_lr,
+      ``start_percent`` as pct_start (``OneCycleLrUpdaterHook`` ``:540``)
+    - ``linear``: annealing_linear to min (``LinearAnnealingLrUpdaterHook``
+      ``:673``)
     - ``poly``: (base - min) * (1 - t/T)^power + min (``:234``)
     - ``exp``: base * gamma^iter (``:222``)
     - ``inv``: base * (1 + gamma*iter)^-power (``:256``)
@@ -168,6 +174,25 @@ def make_lr_schedule(policy: str = "step", base_lr: float = 1e-4,
             return _cyclic_value(
                 it, base_lr, tuple(target_ratio), cyclic_times,
                 step_ratio_up, anneal_strategy, cyclic_gamma, max_iters)
+        if policy == "one_cycle":
+            # OneCycleLrUpdaterHook (lr_updater.py:540-670): base_lr is
+            # max_lr/div_factor; up phase to max_lr, down to
+            # base/final_div_factor (two-phase form)
+            fn = _annealing_cos if anneal_strategy == "cos" \
+                else _annealing_linear
+            base = base_lr / div_factor
+            e1 = float(start_percent * max_iters) - 1
+            e2 = max_iters - 1
+            pct1 = jnp.clip(it / max(e1, 1e-9), 0.0, 1.0)
+            pct2 = jnp.clip((it - e1) / max(e2 - e1, 1e-9), 0.0, 1.0)
+            up = fn(base * 1.0, base * div_factor, pct1)
+            down = fn(base * div_factor, base / final_div_factor, pct2)
+            return jnp.where(it <= e1, up, down)
+        if policy == "linear":
+            target = base_lr * min_lr_ratio if min_lr_ratio is not None \
+                else (min_lr or 0.0)
+            frac = jnp.clip(it / max_iters, 0.0, 1.0)
+            return _annealing_linear(base_lr, target, frac)
         if policy == "poly":
             lo = min_lr or 0.0
             coeff = (1.0 - jnp.clip(it / max_iters, 0.0, 1.0)) ** power

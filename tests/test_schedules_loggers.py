@@ -288,3 +288,40 @@ def test_dynamic_b1_adam_matches_static_when_constant():
             np.testing.assert_allclose(np.asarray(u_ref[n]),
                                        np.asarray(u_dyn[n]),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_one_cycle_and_linear_lr_match_mmcv():
+    from sm3det_tpu.train.optim import make_lr_schedule
+
+    # one_cycle two-phase (OneCycleLrUpdaterHook:646-670): phases
+    # [pct*T-1, 1, div] then [T-1, div, 1/final_div]; get_lr anneals
+    # base_lr(=max/div) * ratios
+    T, pct, div, fdiv = 20, 0.3, 25.0, 1e4
+    sched = make_lr_schedule("one_cycle", base_lr=0.01, max_iters=T,
+                             start_percent=pct, div_factor=div,
+                             final_div_factor=fdiv, warmup=None,
+                             warmup_iters=0)
+    got = [float(sched(np.int32(i))) for i in range(T)]
+
+    def ref(it):
+        base = 0.01 / div
+        phases = [(pct * T - 1, 1.0, div), (T - 1, div, 1.0 / fdiv)]
+        start = 0.0
+        for end, s, e in phases:
+            if it <= end:
+                p = (it - start) / (end - start)
+                return _ref_annealing_cos(base * s, base * e, p)
+            start = end
+        raise AssertionError
+
+    np.testing.assert_allclose(got, [ref(i) for i in range(T)],
+                               rtol=1e-5)
+    # peak = max_lr at the phase boundary
+    assert abs(max(got) - 0.01) < 1e-8
+
+    # linear annealing (LinearAnnealingLrUpdaterHook:673-703)
+    sched = make_lr_schedule("linear", base_lr=0.01, min_lr_ratio=0.1,
+                             max_iters=10, warmup=None, warmup_iters=0)
+    got = [float(sched(np.int32(i))) for i in range(10)]
+    expect = [0.01 + (0.001 - 0.01) * (i / 10) for i in range(10)]
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
