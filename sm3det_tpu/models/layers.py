@@ -50,25 +50,60 @@ class GRN(nn.Module):
         return gamma * (x * nx) + beta + x
 
 
+class SyncBatchNorm(nn.Module):
+    """Cross-device BatchNorm (reference ``sync_bn`` CUDA op,
+    ``mmcv/mmcv/ops/csrc/pytorch/cuda/sync_bn_cuda.cu`` + the
+    ``SyncBN`` norm_cfg knob): flax BatchNorm whose batch statistics
+    are psum-averaged over the ``axis_name`` mesh axis — on TPU the
+    cross-replica reduction is one XLA collective inside the step, no
+    separate op needed. Used when a config requests
+    ``norm_cfg=dict(type='SyncBN')``; the SM3Det backbones keep LN by
+    design (documented deviation), so this exists for config parity
+    and zoo breadth."""
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = "data"
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        ura = nn.merge_param("use_running_average",
+                             self.use_running_average,
+                             use_running_average)
+        # only reduce over the mesh axis when it exists in this trace
+        # (single-device eval/jit without a mesh must still work)
+        axis = self.axis_name
+        try:
+            import jax
+            jax.lax.axis_index(axis)    # raises outside shard_map/pmap
+        except Exception:               # noqa: BLE001
+            axis = None
+        return nn.BatchNorm(use_running_average=ura,
+                            momentum=self.momentum,
+                            epsilon=self.epsilon,
+                            axis_name=axis, name="bn")(x)
+
+
 class ConvModule(nn.Module):
     """conv(+norm)(+act) brick (mmcv ``ConvModule`` behavior).
 
-    NHWC; supports 'GN' group norm, 'BN' (as GroupNorm(1)-free batch-stat
-    -less norm is wrong — we use LayerNorm-style or GN; detection necks/
-    heads in the SM3Det configs use either no norm or GN, never SyncBN).
+    NHWC; supports 'GN' group norm, 'LN', and 'SyncBN' (cross-device
+    batch stats via ``SyncBatchNorm``; note the SM3Det configs' necks/
+    heads use no norm or GN — SyncBN exists for config parity).
     """
 
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
     padding: int | str = "SAME"
-    norm: Optional[str] = None      # None | 'GN'
+    norm: Optional[str] = None      # None | 'GN' | 'LN' | 'SyncBN'
     num_groups: int = 32
     act: Optional[str] = None       # None | 'relu' | 'gelu'
     use_bias: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         bias = self.use_bias if self.use_bias is not None \
             else self.norm is None
         pad = self.padding
@@ -81,6 +116,9 @@ class ConvModule(nn.Module):
             x = nn.GroupNorm(num_groups=self.num_groups, name="gn")(x)
         elif self.norm == "LN":
             x = nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+        elif self.norm == "SyncBN":
+            x = SyncBatchNorm(name="sync_bn")(
+                x, use_running_average=not train)
         if self.act == "relu":
             x = nn.relu(x)
         elif self.act == "gelu":

@@ -344,3 +344,42 @@ def test_zero1_optimizer_state_sharding_step_equality():
             [d.ravel() for d in diffs])))
         assert worst < 2e-3, worst
         assert mean < 1e-5, mean
+
+
+def test_sync_batchnorm_cross_device_stats():
+    """SyncBatchNorm (reference sync_bn op): under a 2-device 'data'
+    mesh the normalization must use GLOBAL batch statistics — output
+    equals single-device BN over the full batch, not per-shard BN."""
+    from flax import linen as fnn
+    from jax.experimental.shard_map import shard_map
+
+    from sm3det_tpu.models.layers import SyncBatchNorm
+
+    rng = np.random.RandomState(0)
+    # two halves with very different statistics
+    x = np.concatenate([
+        rng.rand(2, 4, 4, 8).astype(np.float32),
+        rng.rand(2, 4, 4, 8).astype(np.float32) * 10 + 5])
+    mdl = SyncBatchNorm(axis_name="data")
+    variables = mdl.init(jax.random.PRNGKey(0),
+                         jnp.asarray(x), use_running_average=False)
+
+    # single-device reference: plain BatchNorm over the full batch
+    ref_mdl = fnn.BatchNorm(use_running_average=False)
+    ref_vars = ref_mdl.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ref, _ = ref_mdl.apply(ref_vars, jnp.asarray(x),
+                           mutable=["batch_stats"])
+
+    mesh = make_mesh(2, expert_parallel=1)
+
+    def fwd(v, xb):
+        out, _ = mdl.apply(v, xb, use_running_average=False,
+                           mutable=["batch_stats"])
+        return out
+
+    sharded = shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P("data")), out_specs=P("data"))
+    got = np.asarray(sharded(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
