@@ -183,6 +183,28 @@ def main():
     print(f"inference: {n_total} images in {dt:.1f}s "
           f"({n_total / dt:.2f} img/s, batch={bs})", flush=True)
 
+    if args.format_only and sub == "sar":
+        # COCO-json results (mmdet CocoDataset.format_results /
+        # _det2json: one record per det with xywh bbox, score,
+        # category_id, image_id) — the SAR submission format
+        from sm3det_tpu.utils import fileio
+        records = []
+        for img_id, per_class in zip(img_ids, det_results):
+            for c, dets in enumerate(per_class):
+                for d in dets:
+                    x1, y1, x2, y2, s = (float(v) for v in d[:5])
+                    records.append(dict(
+                        image_id=int(img_id) if str(img_id).isdigit()
+                        else img_id,
+                        bbox=[x1, y1, x2 - x1, y2 - y1],
+                        score=s, category_id=c))
+        os.makedirs(args.submission_dir, exist_ok=True)
+        out_json = os.path.join(args.submission_dir, "results.bbox.json")
+        fileio.dump(records, out_json, file_format="json")
+        print(f"COCO results written: {out_json} "
+              f"({len(records)} detections)")
+        return
+
     if args.format_only and sub != "sar":
         # DOTA Task1 submission (dota.py:243-323): real patch ids carry
         # the '__scale__x___y' suffix; merge translates + NMS-merges per
