@@ -141,7 +141,16 @@ def test_two_process_train_matches_single_process(tmp_path):
     assert "mesh: 4 devices = 4 data x 1 expert" in outs[0]
 
     log_s, log_m = _read_log(wd_single), _read_log(wd_mp)
+    # eval metrics are logged to the same jsonl (mode='val' rows);
+    # compare the train rows, and check the val rows were produced
+    val_s = [r for r in log_s if r.get("mode") == "val"]
+    val_m = [r for r in log_m if r.get("mode") == "val"]
+    log_s = [r for r in log_s if r.get("mode") != "val"]
+    log_m = [r for r in log_m if r.get("mode") != "val"]
     assert len(log_s) == len(log_m) == 4
+    assert {r["dataset"] for r in val_s} == {"sar", "rgb", "ifr"}
+    # rank-0-only eval collection: the mp run's val rows exist too
+    assert {r["dataset"] for r in val_m} == {"sar", "rgb", "ifr"}
     for ls, lm in zip(log_s, log_m):
         assert ls["iter"] == lm["iter"]
         # iter 1 = same params, same (byte-identical) global batch ->
