@@ -170,3 +170,20 @@ def test_class_vocabularies_match_reference():
     assert DS_COLLECTIONS["RSAR"] == ("ship", "aircraft", "car", "tank",
                                       "bridge", "harbor")
     assert class_map("DOTA")["baseball diamond"] == 1
+
+
+def test_obb_grounding_f1_core():
+    """The per-sample greedy P/R/F1 core (core/evaluation/
+    obb_grounding.py) — the simple grounding metric predating the full
+    score.py pipeline; fixture: 2 samples, one perfect + one half."""
+    from sm3det_tpu.core.evaluation.obb_grounding import obb_grounding_f1
+    b = lambda cx, cy: [cx, cy, 20.0, 10.0, 0.0]  # noqa: E731
+    res = obb_grounding_f1(
+        pred_obbs=[np.array([b(50, 50)], np.float32),
+                   np.array([b(10, 10), b(200, 200)], np.float32)],
+        gt_obbs=[np.array([b(50, 50)], np.float32),
+                 np.array([b(10, 10), b(400, 400)], np.float32)])
+    assert res["tp"] == 2 and res["fp"] == 1 and res["fn"] == 1
+    assert abs(res["precision"] - 2 / 3) < 1e-9
+    assert abs(res["recall"] - 2 / 3) < 1e-9
+    assert abs(res["f1"] - 2 / 3) < 1e-9
