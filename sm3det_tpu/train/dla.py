@@ -92,7 +92,10 @@ def make_dla_config(reweight=DEFAULT_REWEIGHT_LOSSES, T=3.0, b=0.4,
 
 
 def init_dla_state(cfg: DLAConfig) -> DLAState:
-    n = len(cfg.loss_names)
+    # min size 1: a DLA-less run carries an empty config, and orbax
+    # refuses to checkpoint zero-size arrays ("Cannot save arrays with
+    # zero size") — the padded slot is never read without a config
+    n = max(len(cfg.loss_names), 1)
     return DLAState(
         ema=jnp.full((n,), 1e-3, jnp.float32),
         initialized=jnp.zeros((n,), bool),
