@@ -199,6 +199,13 @@ class TriSourceDetector(nn.Module):
             num_classes=c["num_classes"], name="rgb_roi_head")
         self.ifr_roi_head = RotatedShared2FCBBoxHead(
             num_classes=c["num_classes"], name="ifr_roi_head")
+        if c.get("multi_tasks_reweight") == "uncertainty":
+            # learned per-loss sigmas (reference trisource_...:349-353);
+            # declared here — linen forbids self.param in a non-compact
+            # __call__
+            self.mtl_sigma = self.param(
+                "mtl_sigma", nn.initializers.ones,
+                (len(REWEIGHT_LOSS_KEYS),))
 
     # ---- feature extraction -------------------------------------------
 
@@ -315,8 +322,7 @@ class TriSourceDetector(nn.Module):
             losses[f"{key}_loss_bbox"] = jnp.sum(l_reg) / total
 
         if c.get("multi_tasks_reweight") == "uncertainty":
-            sigma = self.param("mtl_sigma", nn.initializers.ones,
-                               (len(REWEIGHT_LOSS_KEYS),))
+            sigma = self.mtl_sigma
             total = jnp.zeros(())
             for i, k in enumerate(REWEIGHT_LOSS_KEYS):
                 li = losses.pop(k)

@@ -171,6 +171,37 @@ def test_dwa_reweighting(model_and_state):
     assert bool((np.asarray(s2.prev_losses) > 0).any())
 
 
+def test_uncertainty_reweighting(model_and_state):
+    """multi_tasks_reweight='uncertainty' (trisource_...:349-353): the
+    learned mtl_sigma param must exist in the param tree (regression:
+    ``self.param`` in a non-compact ``__call__`` silently raised under
+    linen, so the path never ran) and must receive gradients."""
+    import copy
+    _, _, _, batch = model_and_state
+    cfg = copy.deepcopy(TINY_CFG)
+    cfg["multi_tasks_reweight"] = "uncertainty"
+    model = TriSourceDetector(cfg=cfg)
+    params = init_trisource(jax.random.PRNGKey(0), model, batch)
+    assert "mtl_sigma" in params, sorted(params)
+    assert params["mtl_sigma"].shape == (len(
+        __import__("sm3det_tpu.models.detectors.trisource",
+                   fromlist=["REWEIGHT_LOSS_KEYS"]).REWEIGHT_LOSS_KEYS),)
+    init_fn, update_fn, _ = make_optimizer(
+        base_lr=1e-3, step_iters=(100,), warmup_iters=0)
+    st = TrainState(params=params, opt=init_fn(params),
+                    rng=jax.random.PRNGKey(5))
+    step = jax.jit(build_train_step(model, init_fn, update_fn))
+    s1, m1 = step(st, batch)
+    assert "reweighted_total_losses" in m1
+    assert np.isfinite(float(m1["reweighted_total_losses"]))
+    # sigmas move: the reweighted sum is the optimized objective
+    d_sigma = float(jnp.abs(s1.params["mtl_sigma"] -
+                            st.params["mtl_sigma"]).max())
+    assert d_sigma > 0
+    # individual task losses are still reported for logging/DLA
+    assert np.isfinite(float(m1["sar_loss_cls"]))
+
+
 def test_bf16_train_step(model_and_state):
     """compute_dtype='bfloat16': forward in bf16, fp32 master params,
     fp32 loss math — losses finite, params update in fp32."""
