@@ -90,33 +90,15 @@ default cf=1.5 keeps its rationale: bounded drop rate (<20%) as
 insurance for trained-gate imbalance, at ~nil cost.
 """)
 
-    with open(os.path.join(EV, "dla_ablation.md"), "w") as f:
-        f.write(f"""# DLA ablation (reference headline, BASELINE.md rows 5-7)
-
-The reference's central claim is that DLA (dynamic per-submodule LR)
-beats both plain joint training and uncertainty reweighting
-(README.md:113-144: uncertainty 79.99 @50 < DLA-w/o-MoE 80.19 < full
-SM3Det 80.68). This reproduces the ablation SHAPE on the
-structured-synthetic harness (`configs/convergence_synth.py`, flagship
-architecture at 256px, 3 seeds x 2000 iters, capacity_factor 1.5;
-driver `tools/profiling/evidence_v2.py`, raw `evidence_v2.jsonl`).
-
-Held-out mAP50 at iter 2000 (SAR: COCO bbox AP50; RGB/IFR: VOC mAP50),
-mean ± std over seeds:
-
-{fmt_table(abl_stats, 'recipe')}
-
-Notes
-- 'fixed' = step LR, no loss reweighting (the reference's Simple Joint
-  Training row); 'uncertainty' = learned per-task sigmas
-  (`trisource.py` uncertainty path) over step LR; 'dla' = the flagship
-  dynamic-LR policy (sigmoid_kl backbone, softmax heads).
-- This is a synthetic-data harness: it validates that the DLA
-  machinery trains stably and the RANKING direction, not the
-  reference's absolute numbers (real-data runs need the SOI-Det corpus
-  mounted).
-""")
-    print("written: capacity_ab.md (v2 appended), dla_ablation.md")
+    # dla_ablation.md is hand-curated around these numbers (the r5
+    # measured ranking was dla < fixed < uncertainty — see that file's
+    # honest-reading section); emit the raw table next to it instead
+    # of overwriting the analysis.
+    with open(os.path.join(EV, "dla_ablation_table.md"), "w") as f:
+        f.write("# DLA ablation raw table (autogen; analysis in "
+                "dla_ablation.md)\n\n" + fmt_table(abl_stats, 'recipe')
+                + "\n")
+    print("written: capacity_ab.md (v2 appended), dla_ablation_table.md")
 
 
 if __name__ == "__main__":
