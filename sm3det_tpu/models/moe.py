@@ -174,35 +174,50 @@ class ExpertFFN(nn.Module):
     hidden: int
     use_grn: bool = False
 
-    @nn.compact
+    def setup(self):
+        e, d, h = self.num_experts, self.dim, self.hidden
+        self.w1 = self.param("w1", nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal"), (e, d, h))
+        self.b1 = self.param("b1", nn.initializers.zeros, (e, h))
+        self.w2 = self.param("w2", nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal"), (e, h, d))
+        self.b2 = self.param("b2", nn.initializers.zeros, (e, d))
+        if self.use_grn:
+            self.grn = GRN(self.hidden, name="grn")
+
     def __call__(self, x):
         """x: (E, cap, d) -> (E, cap, d)."""
-        e, d, h = self.num_experts, self.dim, self.hidden
-        scale1 = 1.0 / np.sqrt(d)
-        w1 = self.param("w1", nn.initializers.variance_scaling(
-            1.0, "fan_in", "truncated_normal"), (e, d, h))
-        b1 = self.param("b1", nn.initializers.zeros, (e, h))
-        w2 = self.param("w2", nn.initializers.variance_scaling(
-            1.0, "fan_in", "truncated_normal"), (e, h, d))
-        b2 = self.param("b2", nn.initializers.zeros, (e, d))
-        del scale1
+        e, h = self.num_experts, self.hidden
         y = _bf16_dot("ecd,edh->ech", "ech,edh->ecd", "ecd,ech->edh",
-                      x, w1) + b1[:, None]
+                      x, self.w1) + self.b1[:, None]
         # f32 matmul accumulation; activation at the compute dtype
         y = _policy_gelu(y.astype(x.dtype))
         if self.use_grn:
             # per-token GRN over channel only reduces to identity-ish for
             # 1D tokens; ConvNeXt-V2 GRN operates on spatial dims, applied
             # upstream. Kept for config parity.
-            y = GRN(self.hidden, name="grn")(y.reshape(e, -1, 1, h)) \
-                .reshape(e, -1, h)
+            y = self.grn(y.reshape(e, -1, 1, h)).reshape(e, -1, h)
         y = _bf16_dot("ech,ehd->ecd", "ecd,ehd->ech", "ech,ecd->ehd",
-                      y, w2) + b2[:, None]
+                      y, self.w2) + self.b2[:, None]
         # back to the compute dtype HERE: f32 accumulation happened in
         # the einsum; leaving the (E, cap, d) buffer f32 doubles the
         # HBM traffic of the gather+combine that follows (and silently
         # promoted the combine to f32 despite the gate cast)
         return y.astype(x.dtype)
+
+    def grouped(self, x_slots, tile_expert):
+        """No-drop grouped inference FFN over the group-aligned sorted
+        slot layout (``ops/pallas/moe_groupgemm_kernel.py``): Pallas on
+        TPU (weights VMEM-resident per expert group, hidden never hits
+        HBM), jnp tile-gathered einsum elsewhere. Same numeric contract
+        as ``__call__``."""
+        from ..ops.pallas.moe_groupgemm_kernel import (moe_ffn_grouped,
+                                                      moe_ffn_grouped_ref)
+        if jax.default_backend() == "tpu":
+            return moe_ffn_grouped(x_slots, tile_expert, self.w1, self.b1,
+                                   self.w2, self.b2)
+        return moe_ffn_grouped_ref(x_slots, tile_expert, self.w1, self.b1,
+                                   self.w2, self.b2)
 
 
 class ExpertLinear(nn.Module):
@@ -301,17 +316,13 @@ class MoELayer(nn.Module):
             # unconditionally; the value is identical, just dead)
             aux = jnp.zeros((), jnp.float32)
 
-        # ---- capacity-bucketed dispatch ------------------------------------
-        # Sort-based, scatter-free (TPU: XLA scatter-add is the dominant
-        # cost of the naive formulation — 7.4 ms/layer at bench sizes,
-        # tools/profiling/archive/profile_backbone3.py). A stable argsort by expert id
-        # yields each (token, choice)'s rank; rank - expert_start is its
-        # position in the expert's bucket, so the (E, capacity) buffer is
-        # ONE gather and the combine is a (N, k, d) reshape-sum.
-        # Drop semantics identical to the cumsum formulation (earlier
-        # flat index -> earlier position; overflow dropped).
-        capacity = int(np.ceil(n * k / e * self.capacity_factor))
-        capacity = max(capacity, 4)
+        # ---- dispatch ------------------------------------------------------
+        # Shared routing arithmetic (sort-based, scatter-free — TPU: XLA
+        # scatter-add is the dominant cost of the naive formulation,
+        # 7.4 ms/layer at bench sizes, tools/profiling/archive/
+        # profile_backbone3.py): a stable argsort by expert id yields
+        # each (token, choice)'s rank; rank - expert_start is its
+        # position in the expert's bucket.
         m = n * k
 
         flat_expert = top_k_idx.reshape(-1)                  # (N*k,)
@@ -330,6 +341,57 @@ class MoELayer(nn.Module):
         # multiply-reduce over the tiny E axis: take_along_axis lowers to
         # a per-row gather the TPU serializes (~5 ms/iter at bench sizes)
         position = jnp.sum(pos_all * oh, axis=1)              # (N*k,)
+
+        experts_mod = None
+        if self.expert_kind == "ffn":
+            experts_mod = ExpertFFN(e, d, self.hidden,
+                                    use_grn=self.use_grn, name="experts")
+
+        import os
+        if (not train and experts_mod is not None and not self.use_grn
+                and os.environ.get("SM3DET_MOE_GROUPGEMM", "1") != "0"):
+            # ---- no-drop grouped inference dispatch ------------------------
+            # Group-ALIGNED sorted layout: expert e's tokens occupy
+            # [astart_e, astart_e + counts_e) with astart_e a TILE
+            # multiple, so every TILE-row tile belongs to one expert and
+            # the fused grouped GEMM (moe_groupgemm_kernel) selects its
+            # weights by tile. vs the capacity path this (a) drops NO
+            # routes — exactly the reference SparseDispatcher's
+            # unbounded semantics (convnext_moe.py:250-293) — and
+            # (b) cuts dispatch descriptors + expert FLOPs from
+            # cf * N*k to N*k + E*TILE (-29% at the flagship cf=1.5,
+            # docs/PERF.md round 5).
+            tile = 256 if d > 512 else 512
+            aligned = ((counts + tile - 1) // tile) * tile     # (E,)
+            astart = jnp.cumsum(aligned) - aligned             # (E,)
+            s_static = int(-(-m // tile) * tile) + e * tile
+            n_tiles = s_static // tile
+            ends = jnp.cumsum(aligned)
+            tile_e = jnp.clip(
+                jnp.searchsorted(ends, jnp.arange(n_tiles) * tile,
+                                 side="right"),
+                0, e - 1).astype(jnp.int32)
+            slot_e = jnp.repeat(tile_e, tile)                  # (S,)
+            local = jnp.arange(s_static) - astart[slot_e]
+            src_route = order[jnp.clip(starts[slot_e] + local, 0, m - 1)]
+            x_slots = x[src_route // k]                        # (S, d)
+            y_slots = experts_mod.grouped(x_slots, tile_e)
+            # combine: every route is kept; group-padding slots are
+            # simply never read
+            pos_route = astart[flat_expert] + position         # (N*k,)
+            gathered = y_slots[pos_route]
+            weighted = gathered * flat_gate[:, None].astype(gathered.dtype)
+            y = weighted.reshape(n, k, d).sum(axis=1)
+            self.sow("intermediates", "drop_fraction", jnp.zeros(()))
+            return y.astype(x.dtype), aux
+
+        # ---- capacity-bucketed dispatch (training; linear/GRN experts) -----
+        # The (E, capacity) buffer is ONE gather and the combine is a
+        # (N, k, d) reshape-sum. Drop semantics identical to the cumsum
+        # formulation (earlier flat index -> earlier position; overflow
+        # dropped).
+        capacity = int(np.ceil(n * k / e * self.capacity_factor))
+        capacity = max(capacity, 4)
         keep = position < capacity
         # capacity A/B instrument (SURVEY §7): fraction of (token, choice)
         # routes dropped by the static capacity — capture via
@@ -359,8 +421,7 @@ class MoELayer(nn.Module):
             out_buf = ExpertLinear(e, d, out_d, name="experts")(buf)
         else:
             out_d = d
-            out_buf = ExpertFFN(e, d, self.hidden, use_grn=self.use_grn,
-                                name="experts")(buf)
+            out_buf = experts_mod(buf)
         out_buf = out_buf.reshape(e * capacity, out_d)
 
         # combine gather; inverse: buf position (e, pos) is read (with a
