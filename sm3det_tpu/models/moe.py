@@ -4,14 +4,23 @@ Re-design of the reference MoE layer
 (``mmrotate/models/backbones/convnext_moe.py:108-293``): noisy top-k gating
 with linear or cosine gates, CV² importance/load balance loss, and per-
 spatial-token expert FFNs. The reference's ``SparseDispatcher``
-(``nonzero``+``sort``+``split``+``index_add``, :250-293) is replaced by a
-**capacity-bucketed static dispatch**: every (token, choice) is assigned a
-slot in a fixed ``(E, capacity)`` buffer via a cumulative-count, experts run
-as ONE batched einsum on the MXU (``(E, cap, d) x (E, d, h)``), and results
-are combined by a gather weighted with the gate probabilities. Tokens
-overflowing an expert's capacity are dropped from that expert (residual
-connections keep them on the identity path), which is the standard
-static-shape MoE contract on TPU.
+(``nonzero``+``sort``+``split``+``index_add``, :250-293) is replaced by
+two static-shape TPU dispatchers:
+
+- **training**: capacity-bucketed dispatch — every (token, choice) is
+  assigned a slot in a fixed ``(E, capacity)`` buffer via a
+  cumulative-count, experts run as ONE batched einsum on the MXU
+  (``(E, cap, d) x (E, d, h)``), and results are combined by a gather
+  weighted with the gate probabilities. Tokens overflowing an expert's
+  capacity are dropped from that expert (residual connections keep them
+  on the identity path) — the standard static-shape MoE training
+  contract on TPU (static grad shapes, expert-axis sharding).
+- **inference** (FFN experts): no-drop group-aligned grouped GEMM
+  (``ops/pallas/moe_groupgemm_kernel.py``) — routes sorted by expert,
+  each group padded only to the matmul tile, fused Pallas expert FFN.
+  Exactly the reference dispatcher's unbounded semantics (zero drops)
+  at ~2/3 of the capacity path's dispatch+compute cost
+  (docs/PERF.md round 5; disable with ``SM3DET_MOE_GROUPGEMM=0``).
 
 The gating math (noisy top-k, ``_prob_in_top_k`` smooth load estimator,
 CV² aux loss) matches ``convnext_moe.py:140-224`` exactly.
