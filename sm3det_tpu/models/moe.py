@@ -222,7 +222,14 @@ class ExpertFFN(nn.Module):
         as ``__call__``."""
         from ..ops.pallas.moe_groupgemm_kernel import (moe_ffn_grouped,
                                                       moe_ffn_grouped_ref)
-        if jax.default_backend() == "tpu":
+        # the Pallas kernel only on the TPU bf16-policy path: the fp32
+        # path's exact-erf GELU (models/layers.py::gelu) has no Pallas
+        # TPU lowering (erfc unimplemented). The jnp fallback keeps the
+        # same no-drop semantics everywhere else: its (T, d, h) weight
+        # tile-gather is a few hundred wide descriptors
+        # (bandwidth-bound), not a per-row gather.
+        if jax.default_backend() == "tpu" and \
+                x_slots.dtype == jnp.bfloat16:
             return moe_ffn_grouped(x_slots, tile_expert, self.w1, self.b1,
                                    self.w2, self.b2)
         return moe_ffn_grouped_ref(x_slots, tile_expert, self.w1, self.b1,
