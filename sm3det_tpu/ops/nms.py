@@ -153,6 +153,8 @@ def greedy_keep(sup: jnp.ndarray, eligible: jnp.ndarray,
     Returns:
         (N,) bool keep mask identical to sequential greedy NMS.
     """
+    import os
+    block = int(os.environ.get("SM3DET_NMS_KEEP_BLOCK", block))
     n = sup.shape[0]
     if n <= block:
         tri = jnp.tril(jnp.ones((n, n), bool), k=-1).T  # True iff j < i
