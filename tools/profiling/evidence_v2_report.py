@@ -67,7 +67,15 @@ def main():
     cap_stats = agg(cap, lambda r: f"cf={r['cf']}")
     abl_stats = agg(abl + dla_arm, lambda r: r["variant"])
 
-    with open(os.path.join(EV, "capacity_ab.md"), "a") as f:
+    cap_md = os.path.join(EV, "capacity_ab.md")
+    with open(cap_md) as f:
+        already = "## v2 (round 5)" in f.read()
+    if already:
+        # idempotent: the v2 section is hand-annotated after generation
+        # (honest-reading notes) — don't append a duplicate
+        print("capacity_ab.md v2 section exists; skipping append")
+        cap_md = os.path.join(EV, "capacity_ab_v2_table.md")
+    with open(cap_md, "a") as f:
         f.write(f"""
 
 ## v2 (round 5): multi-seed sweep at 2000 iters
@@ -98,7 +106,7 @@ insurance for trained-gate imbalance, at ~nil cost.
         f.write("# DLA ablation raw table (autogen; analysis in "
                 "dla_ablation.md)\n\n" + fmt_table(abl_stats, 'recipe')
                 + "\n")
-    print("written: capacity_ab.md (v2 appended), dla_ablation_table.md")
+    print(f"written: {os.path.basename(cap_md)}, dla_ablation_table.md")
 
 
 if __name__ == "__main__":
